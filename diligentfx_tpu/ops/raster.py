@@ -1,0 +1,413 @@
+"""TPU tile rasterizer → visibility buffer.
+
+The reference delegates rasterization to the GPU API (draw calls through
+IDeviceContext; SURVEY.md §2.6 item 5) — on TPU we implement it ourselves,
+designed for the hardware rather than as a GPU-pipeline translation:
+
+  1. **Vertex stage**: one batched fp32 matmul (MXU) transforms all vertices.
+  2. **Triangle setup** (vectorized over triangles, VPU): screen mapping,
+     backface/degenerate/near culling, barycentric-plane coefficients, and an
+     affine depth plane per triangle.
+  3. **Binning** (sort-middle): each triangle expands to at most
+     `max_tiles_per_tri` (tile, tri) pairs — larger triangles go to a small
+     "big list" appended to every tile's bin — the pairs are sorted by tile
+     (XLA sort) and gathered into fixed-capacity per-tile candidate lists.
+     Fixed capacities keep every shape static for XLA.
+  4. **Per-tile raster**: a sequential scan over candidate chunks; each step
+     evaluates barycentric planes for a chunk of triangles across all tiles'
+     pixel blocks simultaneously (regular (tiles, K, th, tw) elementwise work
+     that XLA tiles onto the VPU), z-tests, and updates the visibility buffer.
+
+The output is a *visibility buffer* (depth, triangle id, screen barycentrics)
+rather than shaded pixels: attribute interpolation and material shading then
+run as perfectly regular data-parallel passes over the pixel grid
+(see `interpolate`), which is where the TPU is fastest.  This replaces the
+reference's per-draw forward pipeline (GLTF_PBR_Renderer.cpp:606-784) with a
+two-phase visibility+shading design.
+
+All functions are jit-compatible with static shapes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from diligentfx_tpu.config import RasterizerConfig
+
+Array = jax.Array
+
+# Number of f32 setup slots per triangle:
+# a0,b0,c0,a1,b1,c1 (bary planes), az,bz,cz (depth plane)
+_SETUP_DIM = 9
+
+
+class VisibilityBuffer(NamedTuple):
+    """Per-pixel visibility: the TPU analogue of the G-buffer's mesh-id +
+    depth targets (HnFrameRenderTargets.hpp:42-52), plus barycentrics so any
+    vertex attribute can be reconstructed later."""
+    depth: Array      # (H, W) f32, NDC z; background = depth_clear
+    tri_id: Array     # (H, W) int32, -1 = background
+    bary: Array       # (H, W, 2) f32 screen-space λ0, λ1 (λ2 = 1-λ0-λ1)
+
+
+class RasterStats(NamedTuple):
+    max_bin_count: Array   # () int32 — max triangles binned into one tile
+    bin_overflow: Array    # () int32 — pairs dropped due to bin_capacity
+    big_overflow: Array    # () int32 — big triangles dropped
+    num_culled: Array      # () int32 — triangles culled at setup
+
+
+def clip_to_screen(clip: Array, width: int, height: int) -> Tuple[Array, Array, Array]:
+    """Clip-space (V,4) → screen xy (V,2) (pixel units, y down, origin top-left),
+    ndc z (V,), and 1/w (V,)."""
+    w = clip[..., 3]
+    winv = jnp.where(jnp.abs(w) > 1e-12, 1.0 / w, 0.0)
+    ndc = clip[..., :3] * winv[..., None]
+    sx = (ndc[..., 0] * 0.5 + 0.5) * width
+    sy = (0.5 - ndc[..., 1] * 0.5) * height
+    return jnp.stack([sx, sy], axis=-1), ndc[..., 2], winv
+
+
+def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
+                    double_sided, front_ccw: bool, near_eps: float):
+    """Returns (setup (T, 9), valid (T,), bbox (T, 4) [xmin,ymin,xmax,ymax])."""
+    screen, zndc, winv = clip_to_screen(clip, width, height)
+    i0, i1, i2 = indices[:, 0], indices[:, 1], indices[:, 2]
+    p0, p1, p2 = screen[i0], screen[i1], screen[i2]
+    z0, z1, z2 = zndc[i0], zndc[i1], zndc[i2]
+    w0, w1, w2 = clip[i0, 3], clip[i1, 3], clip[i2, 3]
+
+    x0, y0 = p0[:, 0], p0[:, 1]
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+
+    # Signed "area" (cross z). In y-down screen coords a glTF CCW front face
+    # (viewed in y-up NDC) has negative cross.
+    d = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    front = (d < 0.0) if front_ccw else (d > 0.0)
+    if double_sided is None:
+        ds = jnp.zeros_like(front)
+    else:
+        ds = jnp.broadcast_to(jnp.asarray(double_sided, bool), front.shape)
+
+    in_front = (w0 > near_eps) & (w1 > near_eps) & (w2 > near_eps)
+    nondegenerate = jnp.abs(d) > 1e-12
+    valid = nondegenerate & in_front & (front | ds)
+
+    dinv = jnp.where(nondegenerate, 1.0 / d, 0.0)
+    # Barycentric planes: lambda_i(x, y) = a_i x + b_i y + c_i
+    a0 = (y1 - y2) * dinv
+    b0 = (x2 - x1) * dinv
+    c0 = (x1 * y2 - x2 * y1) * dinv
+    a1 = (y2 - y0) * dinv
+    b1 = (x0 - x2) * dinv
+    c1 = (x2 * y0 - x0 * y2) * dinv
+    # Depth plane: z(x, y) = az x + bz y + cz  (affine since z_ndc is
+    # screen-linear within a triangle).
+    a2 = -(a0 + a1)
+    b2 = -(b0 + b1)
+    c2 = 1.0 - c0 - c1
+    az = a0 * z0 + a1 * z1 + a2 * z2
+    bz = b0 * z0 + b1 * z1 + b2 * z2
+    cz = c0 * z0 + c1 * z1 + c2 * z2
+
+    setup = jnp.stack([a0, b0, c0, a1, b1, c1, az, bz, cz], axis=-1)
+
+    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    # Cull fully off-screen bboxes.
+    on_screen = (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
+    valid = valid & on_screen
+    bbox = jnp.stack([xmin, ymin, xmax, ymax], axis=-1)
+    return setup, valid, bbox
+
+
+def _bin_triangles(valid: Array, bbox: Array, width: int, height: int,
+                   cfg: RasterizerConfig):
+    """Sort-middle binning. Returns (candidates (num_tiles, total_cap) int32
+    with -1 padding, stats-pieces)."""
+    tiles_x = width // cfg.tile_w
+    tiles_y = height // cfg.tile_h
+    num_tiles = tiles_x * tiles_y
+    t = valid.shape[0]
+
+    tx0 = jnp.clip(jnp.floor(bbox[:, 0] / cfg.tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(bbox[:, 1] / cfg.tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    tx1 = jnp.clip(jnp.floor(bbox[:, 2] / cfg.tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    ty1 = jnp.clip(jnp.floor(bbox[:, 3] / cfg.tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    n_cover = span_x * span_y
+
+    is_small = valid & (n_cover <= cfg.max_tiles_per_tri)
+    is_big = valid & (n_cover > cfg.max_tiles_per_tri)
+
+    # --- small triangles: bounded pair expansion -------------------------
+    k = jnp.arange(cfg.max_tiles_per_tri, dtype=jnp.int32)           # (K,)
+    ky = k[None, :] // jnp.maximum(span_x[:, None], 1)               # (T, K)
+    kx = k[None, :] - ky * jnp.maximum(span_x[:, None], 1)
+    pair_tile = (ty0[:, None] + ky) * tiles_x + (tx0[:, None] + kx)  # (T, K)
+    pair_valid = is_small[:, None] & (k[None, :] < n_cover[:, None])
+    pair_tile = jnp.where(pair_valid, pair_tile, num_tiles)          # sentinel
+    pair_tri = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[:, None], pair_tile.shape)
+
+    flat_tile = pair_tile.reshape(-1)
+    flat_tri = pair_tri.reshape(-1)
+    # Stable sort by tile keeps triangle submission order within a tile —
+    # the rasterizer's tie-break is then deterministic draw order.
+    order = jnp.argsort(flat_tile, stable=True)
+    sorted_tile = flat_tile[order]
+    sorted_tri = flat_tri[order]
+
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(flat_tile), flat_tile, num_segments=num_tiles + 1
+    ).astype(jnp.int32)[:num_tiles]
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+
+    j = jnp.arange(cfg.bin_capacity, dtype=jnp.int32)
+    gather_idx = starts[:, None] + j[None, :]                        # (tiles, cap)
+    in_bin = j[None, :] < jnp.minimum(counts[:, None], cfg.bin_capacity)
+    gather_idx = jnp.clip(gather_idx, 0, sorted_tri.shape[0] - 1)
+    cand_small = jnp.where(in_bin, sorted_tri[gather_idx], -1)
+
+    # --- big triangles: appended to every tile's bin ----------------------
+    big_rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1              # (T,)
+    slot = jnp.where(is_big & (big_rank < cfg.big_tri_capacity), big_rank, cfg.big_tri_capacity)
+    big_ids = jnp.zeros((cfg.big_tri_capacity + 1,), jnp.int32).at[slot].set(
+        jnp.arange(t, dtype=jnp.int32), mode="drop")
+    # Slots never written stay 0 — mask them with the actual big count.
+    n_big = jnp.sum(is_big.astype(jnp.int32))
+    big_valid = jnp.arange(cfg.big_tri_capacity, dtype=jnp.int32) < n_big
+    big_list = jnp.where(big_valid, big_ids[:cfg.big_tri_capacity], -1)
+    cand_big = jnp.broadcast_to(big_list[None, :], (num_tiles, cfg.big_tri_capacity))
+
+    candidates = jnp.concatenate([cand_small, cand_big], axis=1)
+
+    max_count = jnp.max(counts)
+    overflow = jnp.sum(jnp.maximum(counts - cfg.bin_capacity, 0))
+    big_overflow = jnp.maximum(n_big - cfg.big_tri_capacity, 0)
+    return candidates, max_count, overflow, big_overflow
+
+
+def _raster_tiles(setup: Array, candidates: Array, width: int, height: int,
+                  cfg: RasterizerConfig, depth_clear: float, depth_less: bool):
+    """Scan over candidate chunks; per step rasterize K triangles into every
+    tile's (th, tw) pixel block."""
+    tiles_x = width // cfg.tile_w
+    tiles_y = height // cfg.tile_h
+    num_tiles = tiles_x * tiles_y
+    th, tw = cfg.tile_h, cfg.tile_w
+    total_cap = candidates.shape[1]
+    chunk = min(cfg.chunk, total_cap)
+    n_steps = -(-total_cap // chunk)
+    pad = n_steps * chunk - total_cap
+    if pad:
+        candidates = jnp.pad(candidates, ((0, 0), (0, pad)), constant_values=-1)
+
+    # Pixel-center coordinates of each tile's block.
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_px0 = (tile_ids % tiles_x) * tw
+    tile_py0 = (tile_ids // tiles_x) * th
+    ly = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
+    lx = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
+    px = tile_px0[:, None, None].astype(jnp.float32) + lx[None]      # (tiles, th, tw)
+    py = tile_py0[:, None, None].astype(jnp.float32) + ly[None]
+
+    worse = jnp.float32(depth_clear)
+    sign = 1.0 if depth_less else -1.0
+
+    def step(state, cand_k):
+        z_buf, id_buf, b0_buf, b1_buf = state
+        ids = cand_k                                                  # (tiles, K)
+        live = ids >= 0
+        s = setup[jnp.maximum(ids, 0)]                                # (tiles, K, 9)
+
+        def plane(ai, bi, ci):
+            return (s[..., ai, None, None] * px[:, None] +
+                    s[..., bi, None, None] * py[:, None] +
+                    s[..., ci, None, None])                           # (tiles, K, th, tw)
+
+        l0 = plane(0, 1, 2)
+        l1 = plane(3, 4, 5)
+        l2 = 1.0 - l0 - l1
+        z = plane(6, 7, 8)
+        cover = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & live[..., None, None]
+        zc = jnp.where(cover, sign * z, jnp.inf)
+        best_k = jnp.argmin(zc, axis=1)                               # (tiles, th, tw)
+        best = jnp.min(zc, axis=1)
+        take = best < sign * z_buf
+
+        gk = best_k[:, None]
+        z_new = jnp.where(take, sign * best, z_buf)
+        id_new = jnp.where(take, jnp.take_along_axis(
+            jnp.broadcast_to(ids[..., None, None], l0.shape).astype(jnp.int32), gk, axis=1
+        )[:, 0], id_buf)
+        b0_new = jnp.where(take, jnp.take_along_axis(l0, gk, axis=1)[:, 0], b0_buf)
+        b1_new = jnp.where(take, jnp.take_along_axis(l1, gk, axis=1)[:, 0], b1_buf)
+        return (z_new, id_new, b0_new, b1_new), None
+
+    init = (
+        jnp.full((num_tiles, th, tw), depth_clear, jnp.float32),
+        jnp.full((num_tiles, th, tw), -1, jnp.int32),
+        jnp.zeros((num_tiles, th, tw), jnp.float32),
+        jnp.zeros((num_tiles, th, tw), jnp.float32),
+    )
+    cand_steps = candidates.reshape(num_tiles, n_steps, chunk).transpose(1, 0, 2)
+    (z_buf, id_buf, b0_buf, b1_buf), _ = jax.lax.scan(step, init, cand_steps)
+
+    def untile(x):
+        c = x.reshape(tiles_y, tiles_x, th, tw).transpose(0, 2, 1, 3)
+        return c.reshape(height, width)
+
+    return untile(z_buf), untile(id_buf), untile(b0_buf), untile(b1_buf)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "cfg", "front_ccw", "depth_less"))
+def rasterize(clip: Array, indices: Array, *, width: int, height: int,
+              cfg: RasterizerConfig = RasterizerConfig(),
+              double_sided: Optional[Array] = None,
+              front_ccw: bool = True,
+              depth_less: bool = True,
+              near_eps: float = 1e-6) -> Tuple[VisibilityBuffer, RasterStats]:
+    """Rasterize triangles to a visibility buffer.
+
+    Args:
+      clip: (V, 4) clip-space vertex positions (row-vector pipeline output).
+      indices: (T, 3) int32 triangle vertex indices.
+      width, height: framebuffer size; must be multiples of the tile size.
+      double_sided: optional (T,) bool — rasterize backfaces too.
+      front_ccw: glTF/USD convention (counter-clockwise front faces).
+      depth_less: True for standard z (near=0), False for reversed-z.
+    """
+    if width % cfg.tile_w or height % cfg.tile_h:
+        raise ValueError(
+            f"framebuffer {width}x{height} must be a multiple of the tile "
+            f"size {cfg.tile_w}x{cfg.tile_h}; pad the viewport")
+    depth_clear = jnp.inf if depth_less else -jnp.inf
+    setup, valid, bbox = _triangle_setup(
+        clip, indices, width, height, double_sided, front_ccw, near_eps)
+    candidates, max_count, overflow, big_overflow = _bin_triangles(
+        valid, bbox, width, height, cfg)
+    z, tid, b0, b1 = _raster_tiles(
+        setup, candidates, width, height, cfg, float(depth_clear), depth_less)
+    vb = VisibilityBuffer(depth=z, tri_id=tid, bary=jnp.stack([b0, b1], axis=-1))
+    stats = RasterStats(
+        max_bin_count=max_count,
+        bin_overflow=overflow,
+        big_overflow=big_overflow,
+        num_culled=jnp.sum((~valid).astype(jnp.int32)),
+    )
+    return vb, stats
+
+
+# ---------------------------------------------------------------------------
+# Attribute interpolation (the deferred half of the visibility buffer design)
+# ---------------------------------------------------------------------------
+
+
+def perspective_bary(vb: VisibilityBuffer, indices: Array, winv: Array) -> Array:
+    """Screen-space λ → perspective-correct λ, (H, W, 3)."""
+    tid = jnp.maximum(vb.tri_id, 0)
+    vidx = indices[tid]                                   # (H, W, 3)
+    wi = winv[vidx]                                       # (H, W, 3)
+    l0 = vb.bary[..., 0]
+    l1 = vb.bary[..., 1]
+    l2 = 1.0 - l0 - l1
+    lam = jnp.stack([l0, l1, l2], axis=-1)
+    num = lam * wi
+    den = jnp.sum(num, axis=-1, keepdims=True)
+    return num / jnp.where(jnp.abs(den) < 1e-20, 1.0, den)
+
+
+def interpolate(vb: VisibilityBuffer, indices: Array, attr: Array,
+                pbary: Array, background=0.0) -> Array:
+    """Perspective-correct interpolation of a per-vertex attribute.
+
+    Args:
+      attr: (V, C) per-vertex values.
+      pbary: (H, W, 3) from `perspective_bary`.
+    Returns (H, W, C).
+    """
+    tid = jnp.maximum(vb.tri_id, 0)
+    vidx = indices[tid]                                   # (H, W, 3)
+    a = attr[vidx]                                        # (H, W, 3, C)
+    out = jnp.sum(a * pbary[..., None], axis=-2)
+    return jnp.where((vb.tri_id >= 0)[..., None], out, background)
+
+
+def interpolate_with_derivs(vb: VisibilityBuffer, indices: Array, attr: Array,
+                            setup_bary: Array, winv: Array):
+    """Interpolate + analytic screen-space derivatives (∂/∂x, ∂/∂y).
+
+    Replaces the GPU's quad-based ddx/ddy (used for mip selection,
+    RenderPBR.psh:115-116) with exact per-triangle derivatives: screen λ is
+    affine per triangle, so d(λ)/dpixel is the per-triangle plane coefficient;
+    perspective-corrected u = Σλᵢwᵢuᵢ / Σλᵢwᵢ differentiates by quotient rule.
+
+    Args:
+      attr: (V, C); setup_bary: (T, 6) = per-tri (a0,b0,c0,a1,b1,c1);
+      winv: (V,) 1/w_clip.
+    Returns (value, ddx, ddy) each (H, W, C).
+    """
+    tid = jnp.maximum(vb.tri_id, 0)
+    vidx = indices[tid]                                   # (H, W, 3)
+    wi = winv[vidx]                                       # (H, W, 3)
+    av = attr[vidx]                                       # (H, W, 3, C)
+    s = setup_bary[tid]                                   # (H, W, 6)
+
+    l0 = vb.bary[..., 0]
+    l1 = vb.bary[..., 1]
+    lam = jnp.stack([l0, l1, 1.0 - l0 - l1], axis=-1)     # (H, W, 3)
+    dldx = jnp.stack([s[..., 0], s[..., 3], -(s[..., 0] + s[..., 3])], axis=-1)
+    dldy = jnp.stack([s[..., 1], s[..., 4], -(s[..., 1] + s[..., 4])], axis=-1)
+
+    g = lam * wi                                          # (H, W, 3)
+    den = jnp.sum(g, axis=-1, keepdims=True)
+    den = jnp.where(jnp.abs(den) < 1e-20, 1.0, den)
+    num = jnp.sum(g[..., None] * av, axis=-2)             # (H, W, C)
+    val = num / den
+
+    dgx = dldx * wi
+    dgy = dldy * wi
+    dnum_x = jnp.sum(dgx[..., None] * av, axis=-2)
+    dnum_y = jnp.sum(dgy[..., None] * av, axis=-2)
+    dden_x = jnp.sum(dgx, axis=-1, keepdims=True)
+    dden_y = jnp.sum(dgy, axis=-1, keepdims=True)
+    ddx = (dnum_x - val * dden_x) / den
+    ddy = (dnum_y - val * dden_y) / den
+
+    mask = (vb.tri_id >= 0)[..., None]
+    zero = jnp.zeros_like(val)
+    return (jnp.where(mask, val, zero), jnp.where(mask, ddx, zero),
+            jnp.where(mask, ddy, zero))
+
+
+def bary_setup_from_clip(clip: Array, indices: Array, width: int, height: int) -> Array:
+    """Recompute the (T, 6) barycentric plane coefficients (for derivative
+    interpolation) from clip positions — cheap, avoids threading raster
+    internals through the API."""
+    screen, _, _ = clip_to_screen(clip, width, height)
+    p0, p1, p2 = (screen[indices[:, k]] for k in range(3))
+    x0, y0 = p0[:, 0], p0[:, 1]
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    d = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    dinv = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, 0.0)
+    return jnp.stack([
+        (y1 - y2) * dinv, (x2 - x1) * dinv, (x1 * y2 - x2 * y1) * dinv,
+        (y2 - y0) * dinv, (x0 - x2) * dinv, (x2 * y0 - x0 * y2) * dinv,
+    ], axis=-1)
+
+
+def pad_viewport(width: int, height: int, cfg: RasterizerConfig) -> Tuple[int, int]:
+    """Round a viewport up to the tile grid (render padded, crop after)."""
+    w = -(-width // cfg.tile_w) * cfg.tile_w
+    h = -(-height // cfg.tile_h) * cfg.tile_h
+    return w, h

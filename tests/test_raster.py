@@ -1,0 +1,222 @@
+"""Rasterizer correctness vs a brute-force numpy reference.
+
+Tile size is shrunk to 8x128 so tests exercise multi-tile binning even on
+small framebuffers (CPU backend, 1 core)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diligentfx_tpu import math3d as m3
+from diligentfx_tpu.config import RasterizerConfig
+from diligentfx_tpu.ops.raster import (
+    VisibilityBuffer, bary_setup_from_clip, interpolate, interpolate_with_derivs,
+    pad_viewport, perspective_bary, rasterize,
+)
+
+CFG = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=64,
+                       max_tiles_per_tri=8, big_tri_capacity=16, chunk=8)
+W, H = 128, 64
+
+
+def brute_force_raster(clip, indices, width, height, double_sided=None,
+                       front_ccw=True):
+    """Per-pixel loop over all triangles (numpy reference)."""
+    clip = np.asarray(clip, np.float64)
+    w = clip[:, 3]
+    ndc = clip[:, :3] / w[:, None]
+    sx = (ndc[:, 0] * 0.5 + 0.5) * width
+    sy = (0.5 - ndc[:, 1] * 0.5) * height
+    z = ndc[:, 2]
+    depth = np.full((height, width), np.inf)
+    tid = np.full((height, width), -1, np.int64)
+    bary = np.zeros((height, width, 2))
+    for t, (i0, i1, i2) in enumerate(np.asarray(indices)):
+        if w[i0] <= 1e-6 or w[i1] <= 1e-6 or w[i2] <= 1e-6:
+            continue
+        x0, y0, x1, y1, x2, y2 = sx[i0], sy[i0], sx[i1], sy[i1], sx[i2], sy[i2]
+        d = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        if abs(d) < 1e-12:
+            continue
+        front = d < 0 if front_ccw else d > 0
+        ds = double_sided[t] if double_sided is not None else False
+        if not (front or ds):
+            continue
+        xmin = max(int(np.floor(min(x0, x1, x2))), 0)
+        xmax = min(int(np.ceil(max(x0, x1, x2))), width - 1)
+        ymin = max(int(np.floor(min(y0, y1, y2))), 0)
+        ymax = min(int(np.ceil(max(y0, y1, y2))), height - 1)
+        for py in range(ymin, ymax + 1):
+            for px in range(xmin, xmax + 1):
+                x, y = px + 0.5, py + 0.5
+                l0 = ((y1 - y2) * (x - x2) + (x2 - x1) * (y - y2)) / d
+                l1 = ((y2 - y0) * (x - x2) + (x0 - x2) * (y - y2)) / d
+                l2 = 1 - l0 - l1
+                if l0 < 0 or l1 < 0 or l2 < 0:
+                    continue
+                zz = l0 * z[i0] + l1 * z[i1] + l2 * z[i2]
+                if zz < depth[py, px]:
+                    depth[py, px] = zz
+                    tid[py, px] = t
+                    bary[py, px] = (l0, l1)
+    return depth, tid, bary
+
+
+def compare(vb: VisibilityBuffer, ref_depth, ref_tid, tol_px_frac=0.02):
+    """Compare allowing a small fraction of edge-pixel mismatches (fp order)."""
+    tid = np.asarray(vb.tri_id)
+    mismatch = (tid != ref_tid)
+    frac = mismatch.mean()
+    assert frac <= tol_px_frac, f"{mismatch.sum()} mismatched pixels ({frac:.2%})"
+    both = (tid >= 0) & (ref_tid >= 0) & ~mismatch
+    if both.any():
+        np.testing.assert_allclose(
+            np.asarray(vb.depth)[both], ref_depth[both], atol=1e-4)
+
+
+def make_scene(n_tris=20, seed=0, depth_range=(0.2, 0.8)):
+    """Random CCW-in-NDC triangles directly in clip space (w=1)."""
+    rng = np.random.default_rng(seed)
+    v = rng.uniform(-1.1, 1.1, size=(n_tris, 3, 2))
+    z = rng.uniform(*depth_range, size=(n_tris, 3, 1))
+    verts = np.concatenate([v, z, np.ones_like(z)], axis=-1).reshape(-1, 4)
+    idx = np.arange(n_tris * 3, dtype=np.int32).reshape(-1, 3)
+    # Make all front-facing (CCW in y-up NDC): ensure cross > 0
+    p = verts.reshape(n_tris, 3, 4)
+    cr = ((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+          - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1]))
+    swap = cr < 0
+    idx[swap] = idx[swap][:, [0, 2, 1]]
+    return jnp.asarray(verts, jnp.float32), jnp.asarray(idx)
+
+
+def test_single_triangle_coverage_and_depth():
+    verts = jnp.array([
+        [-0.5, -0.5, 0.5, 1.0],
+        [0.5, -0.5, 0.5, 1.0],
+        [0.0, 0.5, 0.5, 1.0],
+    ], jnp.float32)
+    idx = jnp.array([[0, 1, 2]], jnp.int32)
+    vb, stats = rasterize(verts, idx, width=W, height=H, cfg=CFG)
+    ref_d, ref_t, _ = brute_force_raster(verts, idx, W, H)
+    compare(vb, ref_d, ref_t, tol_px_frac=0.0)
+    assert int(stats.bin_overflow) == 0
+    # Interior pixel has depth 0.5
+    assert abs(float(vb.depth[H // 2, W // 2]) - 0.5) < 1e-5
+    assert int(vb.tri_id[H // 2, W // 2]) == 0
+    # Corner is background
+    assert int(vb.tri_id[0, 0]) == -1
+
+
+def test_backface_culled_and_double_sided():
+    verts = jnp.array([
+        [-0.5, -0.5, 0.5, 1.0],
+        [0.5, -0.5, 0.5, 1.0],
+        [0.0, 0.5, 0.5, 1.0],
+    ], jnp.float32)
+    idx_cw = jnp.array([[0, 2, 1]], jnp.int32)  # backfacing
+    vb, _ = rasterize(verts, idx_cw, width=W, height=H, cfg=CFG)
+    assert int(jnp.sum(vb.tri_id >= 0)) == 0
+    vb2, _ = rasterize(verts, idx_cw, width=W, height=H, cfg=CFG,
+                       double_sided=jnp.array([True]))
+    assert int(jnp.sum(vb2.tri_id >= 0)) > 100
+
+
+def test_depth_ordering_two_triangles():
+    # Same footprint, different depth: nearer wins regardless of order.
+    def tri(z):
+        return [[-0.8, -0.8, z, 1.0], [0.8, -0.8, z, 1.0], [0.0, 0.8, z, 1.0]]
+    verts = jnp.array(tri(0.7) + tri(0.3), jnp.float32)
+    idx = jnp.array([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    vb, _ = rasterize(verts, idx, width=W, height=H, cfg=CFG)
+    assert int(vb.tri_id[H // 2, W // 2]) == 1
+    assert abs(float(vb.depth[H // 2, W // 2]) - 0.3) < 1e-5
+
+
+def test_random_scene_matches_reference():
+    verts, idx = make_scene(40, seed=3)
+    vb, stats = rasterize(verts, idx, width=W, height=H, cfg=CFG)
+    ref_d, ref_t, _ = brute_force_raster(verts, idx, W, H)
+    compare(vb, ref_d, ref_t)
+    assert int(stats.bin_overflow) == 0
+    assert int(stats.big_overflow) == 0
+
+
+def test_reversed_z():
+    def tri(z):
+        return [[-0.8, -0.8, z, 1.0], [0.8, -0.8, z, 1.0], [0.0, 0.8, z, 1.0]]
+    verts = jnp.array(tri(0.7) + tri(0.3), jnp.float32)
+    idx = jnp.array([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    # reversed-z: larger z is nearer
+    vb, _ = rasterize(verts, idx, width=W, height=H, cfg=CFG, depth_less=False)
+    assert int(vb.tri_id[H // 2, W // 2]) == 0
+
+
+def test_big_triangle_path():
+    # One triangle covering the whole screen goes through the big list.
+    verts = jnp.array([
+        [-4.0, -4.0, 0.5, 1.0], [4.0, -4.0, 0.5, 1.0], [0.0, 6.0, 0.5, 1.0],
+    ], jnp.float32)
+    idx = jnp.array([[0, 1, 2]], jnp.int32)
+    vb, stats = rasterize(verts, idx, width=W, height=H, cfg=CFG)
+    assert int(jnp.sum(vb.tri_id >= 0)) == W * H
+    assert int(stats.big_overflow) == 0
+
+
+def test_perspective_camera_sphere():
+    """Full pipeline: world mesh → view/proj → raster, vs brute force."""
+    from diligentfx_tpu.gltf.primitives import uv_sphere
+    mesh = uv_sphere(1.0, stacks=8, slices=12)
+    view = m3.look_at([0, 0, 3], [0, 0, 0])
+    proj = m3.perspective(1.0, W / H, 0.1, 10.0)
+    clip = m3.transform_points(jnp.asarray(mesh.positions), m3.mul44(view, proj))
+    idx = jnp.asarray(mesh.indices)
+    vb, stats = rasterize(clip, idx, width=W, height=H, cfg=CFG)
+    ref_d, ref_t, _ = brute_force_raster(clip, idx, W, H)
+    compare(vb, ref_d, ref_t)
+    # Sphere covers center, background at corners
+    assert int(vb.tri_id[H // 2, W // 2]) >= 0
+    assert int(vb.tri_id[0, 0]) == -1
+
+
+def test_interpolation_perspective_correct():
+    # A quad going into depth; interpolate view-space z and check midpoint.
+    # Vertices: near edge z_view=-1 (w=1), far edge z_view=-3 (w=3).
+    verts = jnp.array([
+        [-1.0, -1.0, 0.2, 1.0],
+        [1.0, -1.0, 0.2, 1.0],
+        [-3.0, 3.0, 2.4, 3.0],
+        [3.0, 3.0, 2.4, 3.0],
+    ], jnp.float32)
+    idx = jnp.array([[0, 1, 2], [1, 3, 2]], jnp.int32)
+    vb, _ = rasterize(verts, idx, width=W, height=H, cfg=CFG)
+    winv = 1.0 / verts[:, 3]
+    pb = perspective_bary(vb, idx, winv)
+    attr = jnp.array([[1.0], [1.0], [3.0], [3.0]], jnp.float32)  # |z_view|
+    out = interpolate(vb, idx, attr, pb)
+    # At the vertical screen midpoint the perspective-correct value is the
+    # harmonic-style mix: 1/z interpolates linearly in screen space.
+    mid = float(out[H // 2, W // 2, 0])
+    expected = 1.0 / ((0.5 / 1.0) + (0.5 / 3.0))
+    assert abs(mid - expected) < 0.05, (mid, expected)
+
+
+def test_interpolate_with_derivs_affine():
+    # w=1 everywhere → derivative of attr = its screen-space plane slope.
+    verts = jnp.array([
+        [-1.0, -1.0, 0.5, 1.0], [1.0, -1.0, 0.5, 1.0],
+        [-1.0, 1.0, 0.5, 1.0], [1.0, 1.0, 0.5, 1.0],
+    ], jnp.float32)
+    idx = jnp.array([[0, 1, 2], [1, 3, 2]], jnp.int32)
+    vb, _ = rasterize(verts, idx, width=W, height=H, cfg=CFG)
+    # attr = x_ndc → in pixels du/dx = 2/W
+    attr = verts[:, 0:1]
+    setup = bary_setup_from_clip(verts, idx, W, H)
+    winv = 1.0 / verts[:, 3]
+    val, ddx, ddy = interpolate_with_derivs(vb, idx, attr, setup, winv)
+    inside = np.asarray(vb.tri_id) >= 0
+    np.testing.assert_allclose(np.asarray(ddx[..., 0])[inside], 2.0 / W, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ddy[..., 0])[inside], 0.0, atol=1e-5)
+
+
+def test_pad_viewport():
+    assert pad_viewport(500, 300, CFG) == (512, 304)
