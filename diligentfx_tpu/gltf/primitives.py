@@ -67,13 +67,26 @@ def uv_sphere(radius: float = 1.0, stacks: int = 32, slices: int = 48) -> MeshDa
         for j in range(slices):
             a = i * (slices + 1) + j
             b = a + slices + 1
-            # CCW when viewed from outside
             if i > 0:
-                tris.append([a, a + 1, b])
+                tris.append([a, b, a + 1])
             if i < stacks - 1:
-                tris.append([a + 1, b + 1, b])
+                tris.append([a + 1, b, b + 1])
     idx = np.asarray(tris, np.int32)
+    idx = enforce_outward_winding(pos, idx)
     return _with_tangents(pos, nrm, uv, idx)
+
+
+def enforce_outward_winding(pos: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Flip triangles whose geometric normal points toward the origin —
+    guarantees CCW-from-outside (glTF front-face) winding for closed
+    origin-centered primitives."""
+    p0, p1, p2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+    fn = np.cross(p1 - p0, p2 - p0)
+    cen = (p0 + p1 + p2) / 3.0
+    flip = np.sum(fn * cen, axis=-1) < 0
+    out = idx.copy()
+    out[flip] = out[flip][:, [0, 2, 1]]
+    return out
 
 
 def plane(size: float = 1.0, segments: int = 1) -> MeshData:

@@ -1,0 +1,190 @@
+"""Texture sampling on TPU: gather-based filtering.
+
+Replaces the GPU sampler objects of the reference (immutable samplers in
+PBR_Renderer::CreateInfo, PBR_Renderer.hpp:255-288) with explicit gather +
+arithmetic.  Wrap modes match Diligent's TEXTURE_ADDRESS_* semantics.
+
+Environment maps use an **octahedral** parametrization instead of the
+reference's cubemaps (PBR_Renderer.hpp:477-480): a single square texture with
+near-uniform solid-angle distribution and branch-free direction mapping —
+the TPU-idiomatic replacement for 6-face cube sampling (no per-face control
+flow, plain 2D gathers that XLA tiles well).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+WRAP_REPEAT = 0
+WRAP_MIRROR = 1
+WRAP_CLAMP = 2
+
+
+def _apply_wrap(coord: Array, size: int, wrap: int) -> Array:
+    if wrap == WRAP_REPEAT:
+        return jnp.mod(coord, size)
+    if wrap == WRAP_MIRROR:
+        period = 2 * size
+        m = jnp.mod(coord, period)
+        return jnp.where(m < size, m, period - 1 - m)
+    return jnp.clip(coord, 0, size - 1)
+
+
+def point_sample(img: Array, uv: Array, wrap_u: int = WRAP_CLAMP,
+                 wrap_v: int = WRAP_CLAMP) -> Array:
+    """Nearest sample. img (H, W, C), uv (..., 2) in [0,1] → (..., C)."""
+    h, w = img.shape[0], img.shape[1]
+    x = jnp.floor(uv[..., 0] * w).astype(jnp.int32)
+    y = jnp.floor(uv[..., 1] * h).astype(jnp.int32)
+    x = _apply_wrap(x, w, wrap_u)
+    y = _apply_wrap(y, h, wrap_v)
+    return img[y, x]
+
+
+def bilinear_sample(img: Array, uv: Array, wrap_u: int = WRAP_CLAMP,
+                    wrap_v: int = WRAP_CLAMP) -> Array:
+    """Bilinear sample. img (H, W, C), uv (..., 2) in [0,1] → (..., C)."""
+    h, w = img.shape[0], img.shape[1]
+    fx = uv[..., 0] * w - 0.5
+    fy = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0w = _apply_wrap(x0, w, wrap_u)
+    x1w = _apply_wrap(x0 + 1, w, wrap_u)
+    y0w = _apply_wrap(y0, h, wrap_v)
+    y1w = _apply_wrap(y0 + 1, h, wrap_v)
+    c00 = img[y0w, x0w]
+    c10 = img[y0w, x1w]
+    c01 = img[y1w, x0w]
+    c11 = img[y1w, x1w]
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    return top + (bot - top) * ty
+
+
+def sample_mip_trilinear(mips: Sequence[Array], uv: Array, lod: Array,
+                         wrap_u: int = WRAP_CLAMP, wrap_v: int = WRAP_CLAMP) -> Array:
+    """Trilinear sample from an explicit mip chain (list of (Hi, Wi, C)).
+
+    lod (...,): fractional mip level, clamped to the chain.  Implemented as a
+    static sum over mip levels with per-pixel weights — every level is sampled
+    (XLA-friendly, no data-dependent indexing into a ragged structure); cost
+    is bounded by the (small, static) mip count.
+    """
+    n = len(mips)
+    lod = jnp.clip(lod, 0.0, n - 1)
+    lo = jnp.floor(lod)
+    frac = lod - lo
+    out = None
+    for i, mip in enumerate(mips):
+        # weight of level i in the trilinear blend
+        w_i = jnp.where(lo == i, 1.0 - frac, jnp.where(lo == i - 1, frac, 0.0))
+        if i == n - 1:
+            w_i = jnp.where(lo >= n - 1, 1.0, w_i)
+        s = bilinear_sample(mip, uv, wrap_u, wrap_v)
+        term = s * w_i[..., None]
+        out = term if out is None else out + term
+    return out
+
+
+def compute_texture_lod(ddx_uv: Array, ddy_uv: Array, width: int, height: int,
+                        bias: float = 0.0) -> Array:
+    """GPU-style mip selection from analytic UV derivatives (replaces
+    ddx/ddy at RenderPBR.psh:115-116). Returns (...,)."""
+    dx = ddx_uv * jnp.array([width, height], jnp.float32)
+    dy = ddy_uv * jnp.array([width, height], jnp.float32)
+    rho2 = jnp.maximum(jnp.sum(dx * dx, axis=-1), jnp.sum(dy * dy, axis=-1))
+    return 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12)) + bias
+
+
+# ---------------------------------------------------------------------------
+# Octahedral environment mapping
+# ---------------------------------------------------------------------------
+
+
+def dir_to_oct_uv(d: Array) -> Array:
+    """Unit direction (..., 3) → octahedral uv in [0,1]² (y-up world)."""
+    n = d / jnp.maximum(jnp.sum(jnp.abs(d), axis=-1, keepdims=True), 1e-12)
+    x, y, z = n[..., 0], n[..., 1], n[..., 2]
+    # Project upper hemisphere to the inner diamond, lower folds outward.
+    u = x
+    v = z
+    lower = y < 0.0
+    uf = (1.0 - jnp.abs(v)) * jnp.sign(u + 1e-20)
+    vf = (1.0 - jnp.abs(u)) * jnp.sign(v + 1e-20)
+    u = jnp.where(lower, uf, u)
+    v = jnp.where(lower, vf, v)
+    return jnp.stack([u, v], axis=-1) * 0.5 + 0.5
+
+
+def oct_uv_to_dir(uv: Array) -> Array:
+    """Octahedral uv in [0,1]² → unit direction (..., 3)."""
+    f = uv * 2.0 - 1.0
+    u, v = f[..., 0], f[..., 1]
+    y = 1.0 - jnp.abs(u) - jnp.abs(v)
+    lower = y < 0.0
+    uu = jnp.where(lower, (1.0 - jnp.abs(v)) * jnp.sign(u + 1e-20), u)
+    vv = jnp.where(lower, (1.0 - jnp.abs(u)) * jnp.sign(v + 1e-20), v)
+    d = jnp.stack([uu, y, vv], axis=-1)
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+
+
+def oct_pixel_dirs(res: int) -> Array:
+    """(res, res, 3) unit directions at octahedral texel centers."""
+    t = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res
+    u, v = jnp.meshgrid(t, t, indexing="xy")
+    return oct_uv_to_dir(jnp.stack([u, v], axis=-1))
+
+
+def oct_solid_angles(res: int) -> Array:
+    """(res, res) approximate solid angle per octahedral texel (sums to 4π)."""
+    d = oct_pixel_dirs(res)
+    # |d|_1-normalized mapping: the Jacobian of oct→sphere ∝ 1/|p|^3 where
+    # p is the pre-normalization octahedron point.  Compute numerically from
+    # the L1 norm before normalization.
+    t = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res
+    u, v = jnp.meshgrid(t * 2 - 1, t * 2 - 1, indexing="xy")
+    y = 1.0 - jnp.abs(u) - jnp.abs(v)
+    lower = y < 0
+    uu = jnp.where(lower, (1.0 - jnp.abs(v)) * jnp.sign(u + 1e-20), u)
+    vv = jnp.where(lower, (1.0 - jnp.abs(u)) * jnp.sign(v + 1e-20), v)
+    p = jnp.stack([uu, y, vv], axis=-1)
+    r = jnp.linalg.norm(p, axis=-1)
+    w = 1.0 / jnp.maximum(r, 1e-9) ** 3
+    area = (2.0 / res) * (2.0 / res) * 2.0  # octahedron total L1 area factor
+    w = w * area
+    # normalize exactly to 4π
+    return w * (4.0 * jnp.pi / jnp.sum(w))
+
+
+def sample_env_oct(mips: Sequence[Array], direction: Array, lod: Array) -> Array:
+    """Sample an octahedral environment mip chain by direction (..., 3)."""
+    uv = dir_to_oct_uv(direction)
+    return sample_mip_trilinear(mips, uv, lod, WRAP_CLAMP, WRAP_CLAMP)
+
+
+def equirect_to_oct(equirect: Array, res: int) -> Array:
+    """Convert a lat-long (H, W, C) environment map to octahedral (res, res, C)."""
+    d = oct_pixel_dirs(res)
+    u = jnp.arctan2(-d[..., 2], d[..., 0]) / (2 * jnp.pi) + 0.5
+    v = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / jnp.pi
+    return bilinear_sample(equirect, jnp.stack([u, v], axis=-1), WRAP_REPEAT, WRAP_CLAMP)
+
+
+def build_mip_chain(img: Array, num_levels: int) -> List[Array]:
+    """Simple 2x2 box-filter mip chain (GPU GenerateMips analogue)."""
+    mips = [img]
+    cur = img
+    for _ in range(num_levels - 1):
+        h, w = cur.shape[0], cur.shape[1]
+        if h < 2 or w < 2:
+            break
+        cur = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2] + cur[0::2, 1::2] + cur[1::2, 1::2])
+        mips.append(cur)
+    return mips

@@ -1,0 +1,392 @@
+"""Surface shading — the analogue of Shaders/PBR/public/PBR_Shading.fxh.
+
+Every function operates on whole framebuffers: leaves are (H, W, C) arrays and
+the light loop is a static Python loop over the (small) light count, which XLA
+unrolls and fuses — the analogue of the HLSL light loop at RenderPBR.psh:479-499.
+
+Layer composition (base + sheen + clear coat) mirrors ResolveLighting
+(PBR_Shading.fxh:847-879); punctual lights mirror ApplyPunctualLight
+(PBR_Shading.fxh:601-722); IBL mirrors ApplyIBL (PBR_Shading.fxh:724-795)
+with multiple-scattering enabled (USE_IBL_MULTIPLE_SCATTERING path).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from diligentfx_tpu.attribs import LightType, PBRLightAttribs
+from diligentfx_tpu.math3d import dot, normalize, reflect, saturate
+from diligentfx_tpu.ops.sampling import bilinear_sample, sample_env_oct
+from diligentfx_tpu.pbr import brdf
+from diligentfx_tpu.pbr.brdf import SurfaceReflectanceInfo
+
+Array = jax.Array
+
+PBR_WORKFLOW_METALLIC_ROUGHNESS = 0
+PBR_WORKFLOW_SPECULAR_GLOSSINESS = 1
+PBR_WORKFLOW_UNLIT = 2
+
+
+# ---------------------------------------------------------------------------
+# Surface reflectance (PBR_Shading.fxh:376-468)
+# ---------------------------------------------------------------------------
+
+
+def solve_metallic(base_color: Array, specular: Array, one_minus_specular_strength: Array) -> Array:
+    """Spec-gloss → metallic conversion (PBR_Shading.fxh SolveMetallic)."""
+    c_min_reflectance = 0.04
+    spec_brightness = jnp.max(specular, axis=-1, keepdims=True)
+    diff_brightness = jnp.max(base_color, axis=-1, keepdims=True)
+    a = c_min_reflectance
+    b = (diff_brightness * one_minus_specular_strength / (1.0 - c_min_reflectance)
+         + spec_brightness - 2.0 * c_min_reflectance)
+    c = c_min_reflectance - spec_brightness
+    d = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+    metallic = jnp.clip((-b + jnp.sqrt(d)) / (2.0 * a), 0.0, 1.0)
+    return jnp.where(spec_brightness > c_min_reflectance, metallic, 0.0)
+
+
+def get_surface_reflectance_mr(base_color: Array, metallic: Array,
+                               roughness: Array) -> SurfaceReflectanceInfo:
+    """Metallic-roughness workflow (PBR_Shading.fxh:431-452)."""
+    f0 = 0.04
+    refl0 = f0 + (base_color - f0) * metallic
+    max_r0 = jnp.max(refl0, axis=-1, keepdims=True)
+    r90 = jnp.minimum(max_r0 * 50.0, 1.0)
+    return SurfaceReflectanceInfo(
+        perceptual_roughness=jnp.clip(roughness, 0.0, 1.0),
+        diffuse_color=base_color * ((1.0 - f0) * (1.0 - metallic)),
+        reflectance0=refl0,
+        reflectance90=jnp.broadcast_to(r90, refl0.shape),
+    )
+
+
+def get_surface_reflectance_sg(base_color: Array, specular: Array,
+                               glossiness: Array) -> SurfaceReflectanceInfo:
+    """Specular-glossiness workflow (PBR_Shading.fxh:390-402)."""
+    one_minus_spec = 1.0 - jnp.max(specular, axis=-1, keepdims=True)
+    refl0 = specular
+    max_r0 = jnp.max(refl0, axis=-1, keepdims=True)
+    r90 = jnp.clip(max_r0 * 50.0, 0.0, 1.0)
+    return SurfaceReflectanceInfo(
+        perceptual_roughness=jnp.clip(1.0 - glossiness, 0.0, 1.0),
+        diffuse_color=base_color * one_minus_spec,
+        reflectance0=refl0,
+        reflectance90=jnp.broadcast_to(r90, refl0.shape),
+    )
+
+
+def get_surface_reflectance_clearcoat(roughness: Array, ior: Array = 1.5) -> SurfaceReflectanceInfo:
+    """PBR_Shading.fxh:455-468."""
+    f0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+    f0 = jnp.broadcast_to(jnp.asarray(f0, jnp.float32), jnp.shape(roughness))
+    z = jnp.zeros(jnp.shape(roughness)[:-1] + (3,), jnp.float32)
+    return SurfaceReflectanceInfo(
+        perceptual_roughness=roughness,
+        diffuse_color=z,
+        reflectance0=z + f0,
+        reflectance90=jnp.ones_like(z),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shading / lighting pytrees
+# ---------------------------------------------------------------------------
+
+
+class BaseLayerShadingInfo(NamedTuple):
+    srf: SurfaceReflectanceInfo
+    metallic: Array   # (..., 1)
+    normal: Array     # (..., 3)
+    ndotv: Array      # (..., 1)
+
+
+class ClearcoatShadingInfo(NamedTuple):
+    srf: SurfaceReflectanceInfo
+    normal: Array
+    factor: Array
+
+
+class SheenShadingInfo(NamedTuple):
+    color: Array
+    roughness: Array
+
+
+class AnisotropyShadingInfo(NamedTuple):
+    strength: Array
+    tangent: Array
+    bitangent: Array
+    alpha_roughness_t: Array
+    alpha_roughness_b: Array
+
+
+class IridescenceShadingInfo(NamedTuple):
+    factor: Array
+    thickness: Array
+    fresnel: Array
+    f0: Array
+
+
+class SurfaceShadingInfo(NamedTuple):
+    """PBR_Shading.fxh:515-552; optional layers are None when the feature is
+    statically disabled (config flag) — the analogue of #if ENABLE_*."""
+    pos: Array        # (..., 3) world position
+    view: Array       # (..., 3) direction surface → camera
+    occlusion: Array  # (..., 1)
+    emissive: Array   # (..., 3)
+    base: BaseLayerShadingInfo
+    ibl_scale: Array  # (..., 3) or (3,)
+    clearcoat: Optional[ClearcoatShadingInfo] = None
+    sheen: Optional[SheenShadingInfo] = None
+    anisotropy: Optional[AnisotropyShadingInfo] = None
+    iridescence: Optional[IridescenceShadingInfo] = None
+    transmission: Optional[Array] = None
+    volume_thickness: Optional[Array] = None
+
+
+class LayerLightingInfo(NamedTuple):
+    punctual: Array
+    diffuse_ibl: Array
+    specular_ibl: Array
+
+
+class SurfaceLightingInfo(NamedTuple):
+    base: LayerLightingInfo
+    sheen: Optional[LayerLightingInfo] = None
+    clearcoat: Optional[LayerLightingInfo] = None
+
+
+def default_lighting(shape_like: Array, with_sheen: bool = False,
+                     with_clearcoat: bool = False) -> SurfaceLightingInfo:
+    z = jnp.zeros(shape_like.shape[:-1] + (3,), jnp.float32)
+    layer = LayerLightingInfo(z, z, z)
+    return SurfaceLightingInfo(
+        base=layer,
+        sheen=layer if with_sheen else None,
+        clearcoat=layer if with_clearcoat else None,
+    )
+
+
+class IBLMaps(NamedTuple):
+    """Precomputed IBL resources (pbr/ibl.py): octahedral irradiance, GGX
+    prefiltered octahedral mip chain, 2D split-sum LUT — the analogues of the
+    irradiance cube / prefiltered env cube / PreintegratedGGX of the reference
+    (PBR_Renderer.hpp:477-480)."""
+    irradiance: Array                 # (R, R, 3) octahedral
+    prefiltered: tuple                # tuple of (Ri, Ri, 3) octahedral mips
+    preintegrated_ggx: Array          # (L, L, 2): x=scale, y=bias over (NdotV, roughness)
+    preintegrated_charlie: Array      # (L, L, 1)
+    sheen_albedo_scaling: Array       # (L, L, 1)
+
+
+# ---------------------------------------------------------------------------
+# Punctual lights (PBR_Shading.fxh:601-722)
+# ---------------------------------------------------------------------------
+
+
+def _light_attenuation(shading_pos: Array, light: PBRLightAttribs, i: int):
+    """Returns (point_to_light_dir (..., 3), attenuation (..., 1))."""
+    ltype = light.type[i]
+    lpos = light.position[i]
+    ldir = light.direction[i]
+
+    to_point = shading_pos - lpos
+    dist2 = jnp.maximum(jnp.sum(to_point * to_point, axis=-1, keepdims=True), 1e-9)
+    lt_dir = to_point / jnp.sqrt(dist2)
+    range_att = 1.0 / dist2
+    range4 = light.range4[i]
+    windowed = saturate(1.0 - (dist2 * dist2) / range4)
+    range_att = jnp.where(jnp.isfinite(range4) & (range4 > 0), range_att * windowed, range_att)
+
+    cos_angle = dot(lt_dir, ldir)
+    ang_att = saturate(cos_angle * light.spot_angle_scale[i] + light.spot_angle_offset[i])
+
+    is_dir = ltype == LightType.DIRECTIONAL
+    is_spot = ltype == LightType.SPOT
+
+    att = jnp.where(is_dir, 1.0, range_att * jnp.where(is_spot, ang_att, 1.0))
+    # direction of propagation: directional/spot use the light's direction;
+    # point lights shine along (pos → surface).
+    prop_dir = jnp.where(is_dir | is_spot, jnp.broadcast_to(ldir, lt_dir.shape), lt_dir)
+    return prop_dir, att
+
+
+def apply_punctual_lights(shading: SurfaceShadingInfo, lights: PBRLightAttribs,
+                          lighting: SurfaceLightingInfo,
+                          shadow_factors: Optional[Array] = None,
+                          sheen_albedo_scaling_lut: Optional[Array] = None
+                          ) -> SurfaceLightingInfo:
+    """Accumulate all punctual lights (static unrolled loop ≙ RenderPBR.psh:479-499).
+
+    shadow_factors: optional (N_lights, H, W) visibility in [0,1] precomputed by
+    the shadow subsystem (the TPU analogue of inline FilterShadowMapFixedPCF at
+    PBR_Shading.fxh:646-668 — filtering runs as its own pass).
+    """
+    base_p = lighting.base.punctual
+    sheen_p = lighting.sheen.punctual if lighting.sheen is not None else None
+    cc_p = lighting.clearcoat.punctual if lighting.clearcoat is not None else None
+
+    n = lights.count
+    for i in range(n):
+        prop_dir, att = _light_attenuation(shading.pos, lights, i)
+        if shadow_factors is not None:
+            att = att * jnp.where(lights.shadow_map_index[i] >= 0,
+                                  shadow_factors[i][..., None], 1.0)
+        intensity = lights.intensity[i] * att
+
+        if shading.anisotropy is not None:
+            diffuse, spec, ndotl = brdf.smith_ggx_brdf_anisotropic(
+                -prop_dir, shading.base.normal, shading.view,
+                shading.anisotropy.tangent, shading.anisotropy.bitangent,
+                shading.base.srf, shading.anisotropy.alpha_roughness_t,
+                shading.anisotropy.alpha_roughness_b)
+        else:
+            diffuse, spec, ndotl = brdf.smith_ggx_brdf(
+                -prop_dir, shading.base.normal, shading.view, shading.base.srf)
+
+        if shading.transmission is not None:
+            diffuse = diffuse * (1.0 - shading.transmission)
+
+        contrib = (diffuse + spec) * intensity * ndotl
+
+        if shading.sheen is not None:
+            ang = brdf.get_angular_info(-prop_dir, shading.base.normal, shading.view)
+            sheen_contrib = brdf.sheen_specular_brdf(
+                shading.sheen.color, shading.sheen.roughness,
+                ang.ndotl, ang.ndotv, ang.ndoth) * intensity * ang.ndotl
+            sheen_p = sheen_p + sheen_contrib
+            # Albedo scaling (PBR_Shading.fxh:705-712)
+            max_f = jnp.max(shading.sheen.color, axis=-1, keepdims=True)
+            if sheen_albedo_scaling_lut is not None:
+                lut = sheen_albedo_scaling_lut
+                e_v = bilinear_sample(lut, jnp.concatenate(
+                    [shading.base.ndotv, shading.sheen.roughness], axis=-1))
+                e_l = bilinear_sample(lut, jnp.concatenate(
+                    [ndotl, shading.sheen.roughness], axis=-1))
+                scaling = jnp.minimum(1.0 - max_f * e_v, 1.0 - max_f * e_l)
+            else:
+                scaling = 1.0 - 0.25 * max_f  # crude fallback
+            contrib = contrib * scaling
+
+        base_p = base_p + contrib
+
+        if shading.clearcoat is not None:
+            cdiff, cspec, cndotl = brdf.smith_ggx_brdf(
+                -prop_dir, shading.clearcoat.normal, shading.view, shading.clearcoat.srf)
+            cc_p = cc_p + cspec * intensity * cndotl
+
+    mk = lambda layer, p: layer._replace(punctual=p) if layer is not None else None
+    return SurfaceLightingInfo(
+        base=lighting.base._replace(punctual=base_p),
+        sheen=mk(lighting.sheen, sheen_p),
+        clearcoat=mk(lighting.clearcoat, cc_p),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IBL (PBR_Shading.fxh:232-371, :724-795) — multiple-scattering variant
+# ---------------------------------------------------------------------------
+
+
+def apply_ibl(shading: SurfaceShadingInfo, maps: IBLMaps,
+              lighting: SurfaceLightingInfo) -> SurfaceLightingInfo:
+    n = shading.base.normal
+    v = shading.view
+    srf = shading.base.srf
+    ndotv = shading.base.ndotv
+    last_mip = float(len(maps.prefiltered) - 1)
+
+    lut_uv = jnp.concatenate([ndotv, srf.perceptual_roughness], axis=-1)
+    pre_int = bilinear_sample(maps.preintegrated_ggx, lut_uv)  # (..., 2)
+
+    # Roughness-dependent Fresnel (Fdez-Aguera), PBR_Shading.fxh:254-262
+    one_minus_r = 1.0 - srf.perceptual_roughness
+    refl90 = jnp.maximum(jnp.broadcast_to(one_minus_r, srf.reflectance0.shape),
+                         srf.reflectance0)
+    k_s = brdf.schlick_reflection(ndotv, srf.reflectance0, refl90)
+    if shading.iridescence is not None:
+        k_s = k_s + (shading.iridescence.fresnel - k_s) * shading.iridescence.factor
+
+    # Diffuse (GetLambertianIBL multiple-scattering path, PBR_Shading.fxh:317-345)
+    irradiance = sample_env_oct([maps.irradiance], n, jnp.zeros(n.shape[:-1]))
+    fss_ess = k_s * pre_int[..., 0:1] + pre_int[..., 1:2]
+    ess = pre_int[..., 0:1] + pre_int[..., 1:2]
+    ems = 1.0 - ess
+    favg = srf.reflectance0 + (1.0 - srf.reflectance0) / 21.0
+    fms = fss_ess * favg / (1.0 - ems * favg)
+    edss = 1.0 - (fss_ess + fms * ems)
+    k_d = srf.diffuse_color * edss
+    diffuse_ibl = (fms * ems + k_d) * irradiance
+    if shading.transmission is not None:
+        diffuse_ibl = diffuse_ibl * (1.0 - shading.transmission)
+
+    # Specular reflection vector (with anisotropic bent normal,
+    # PBR_Shading.fxh:755-769)
+    if shading.anisotropy is not None:
+        a = shading.anisotropy
+        aniso_tangent = jnp.cross(a.bitangent, v)
+        aniso_normal = jnp.cross(aniso_tangent, a.bitangent)
+        bend = 1.0 - a.strength * (1.0 - srf.perceptual_roughness)
+        bend4 = bend ** 4
+        n_spec = normalize(aniso_normal + (n - aniso_normal) * bend4)
+    else:
+        n_spec = n
+    l = normalize(reflect(-v, n_spec))
+    lod = srf.perceptual_roughness[..., 0] * last_mip
+    spec_light = sample_env_oct(maps.prefiltered, l, lod)
+    specular_ibl = spec_light * (k_s * pre_int[..., 0:1] + pre_int[..., 1:2])
+
+    new_sheen = lighting.sheen
+    if shading.sheen is not None:
+        s_uv = jnp.concatenate([ndotv, shading.sheen.roughness], axis=-1)
+        s_brdf = bilinear_sample(maps.preintegrated_charlie, s_uv)
+        s_lod = shading.sheen.roughness[..., 0] * last_mip
+        s_light = sample_env_oct(maps.prefiltered, normalize(reflect(-v, n)), s_lod)
+        new_sheen = lighting.sheen._replace(
+            specular_ibl=s_light * shading.sheen.color * s_brdf)
+
+    new_cc = lighting.clearcoat
+    if shading.clearcoat is not None:
+        cc = shading.clearcoat
+        cc_ndotv = jnp.maximum(dot(cc.normal, v), 0.1)
+        cc_uv = jnp.concatenate([cc_ndotv, cc.srf.perceptual_roughness], axis=-1)
+        cc_int = bilinear_sample(maps.preintegrated_ggx, cc_uv)
+        cc_l = normalize(reflect(-v, cc.normal))
+        cc_lod = cc.srf.perceptual_roughness[..., 0] * last_mip
+        cc_light = sample_env_oct(maps.prefiltered, cc_l, cc_lod)
+        new_cc = lighting.clearcoat._replace(
+            specular_ibl=cc_light * (cc.srf.reflectance0 * cc_int[..., 0:1]
+                                     + cc.srf.reflectance90 * cc_int[..., 1:2]))
+
+    return SurfaceLightingInfo(
+        base=lighting.base._replace(diffuse_ibl=diffuse_ibl, specular_ibl=specular_ibl),
+        sheen=new_sheen,
+        clearcoat=new_cc,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resolve (PBR_Shading.fxh:797-879)
+# ---------------------------------------------------------------------------
+
+
+def resolve_lighting(shading: SurfaceShadingInfo, lighting: SurfaceLightingInfo) -> Array:
+    occ = shading.occlusion
+    scale = shading.ibl_scale
+    base_ibl = (lighting.base.diffuse_ibl + lighting.base.specular_ibl) * scale * occ
+    color = lighting.base.punctual + base_ibl + shading.emissive
+
+    if shading.sheen is not None and lighting.sheen is not None:
+        color = color + lighting.sheen.punctual + lighting.sheen.specular_ibl * scale * occ
+
+    if shading.clearcoat is not None and lighting.clearcoat is not None:
+        cc = shading.clearcoat
+        cc_ndotv = jnp.maximum(dot(cc.normal, shading.view), 0.1)
+        cc_fresnel = brdf.schlick_reflection(
+            cc_ndotv, cc.srf.reflectance0[..., 0:1], cc.srf.reflectance90[..., 0:1])
+        cc_light = (lighting.clearcoat.punctual * cc.factor
+                    + lighting.clearcoat.specular_ibl * scale * occ * cc.factor)
+        color = color * (1.0 - cc.factor * cc_fresnel) + cc_light
+    return color
