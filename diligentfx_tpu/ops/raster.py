@@ -188,10 +188,25 @@ def _bin_triangles(valid: Array, bbox: Array, width: int, height: int,
 
     candidates = jnp.concatenate([cand_small, cand_big], axis=1)
 
+    # Compact layout for the Pallas backend: big-list entries are scattered to
+    # directly follow each tile's small candidates, so a per-tile trip count
+    # of (count + n_big) covers everything with no -1 gap.
+    small_counts = jnp.minimum(counts, cfg.bin_capacity)
+    rows = jnp.broadcast_to(jnp.arange(num_tiles, dtype=jnp.int32)[:, None],
+                            (num_tiles, cfg.big_tri_capacity))
+    big_j = jnp.arange(cfg.big_tri_capacity, dtype=jnp.int32)
+    cols = small_counts[:, None] + big_j[None, :]
+    compact = jnp.where(in_bin, cand_small, -1)
+    compact = jnp.concatenate(
+        [compact, jnp.full((num_tiles, cfg.big_tri_capacity), -1, jnp.int32)], axis=1)
+    compact = compact.at[rows, cols].set(
+        jnp.broadcast_to(big_list[None, :], rows.shape), mode="drop")
+    counts_total = small_counts + n_big
+
     max_count = jnp.max(counts)
     overflow = jnp.sum(jnp.maximum(counts - cfg.bin_capacity, 0))
     big_overflow = jnp.maximum(n_big - cfg.big_tri_capacity, 0)
-    return candidates, max_count, overflow, big_overflow
+    return candidates, compact, counts_total, max_count, overflow, big_overflow
 
 
 def _raster_tiles(setup: Array, candidates: Array, width: int, height: int,
@@ -269,13 +284,15 @@ def _raster_tiles(setup: Array, candidates: Array, width: int, height: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "cfg", "front_ccw", "depth_less"))
+    static_argnames=("width", "height", "cfg", "front_ccw", "depth_less",
+                     "backend"))
 def rasterize(clip: Array, indices: Array, *, width: int, height: int,
               cfg: RasterizerConfig = RasterizerConfig(),
               double_sided: Optional[Array] = None,
               front_ccw: bool = True,
               depth_less: bool = True,
-              near_eps: float = 1e-6) -> Tuple[VisibilityBuffer, RasterStats]:
+              near_eps: float = 1e-6,
+              backend: str = "auto") -> Tuple[VisibilityBuffer, RasterStats]:
     """Rasterize triangles to a visibility buffer.
 
     Args:
@@ -290,13 +307,29 @@ def rasterize(clip: Array, indices: Array, *, width: int, height: int,
         raise ValueError(
             f"framebuffer {width}x{height} must be a multiple of the tile "
             f"size {cfg.tile_w}x{cfg.tile_h}; pad the viewport")
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     depth_clear = jnp.inf if depth_less else -jnp.inf
     setup, valid, bbox = _triangle_setup(
         clip, indices, width, height, double_sided, front_ccw, near_eps)
-    candidates, max_count, overflow, big_overflow = _bin_triangles(
+    candidates, compact, counts, max_count, overflow, big_overflow = _bin_triangles(
         valid, bbox, width, height, cfg)
-    z, tid, b0, b1 = _raster_tiles(
-        setup, candidates, width, height, cfg, float(depth_clear), depth_less)
+    if backend == "pallas":
+        from diligentfx_tpu.ops.raster_pallas import raster_tiles_pallas
+        tiles_x = width // cfg.tile_w
+        zt, idt, b0t, b1t = raster_tiles_pallas(
+            setup, compact, counts, th=cfg.tile_h, tw=cfg.tile_w,
+            tiles_x=tiles_x, depth_less=depth_less)
+        tiles_y = height // cfg.tile_h
+
+        def untile(x):
+            c = x.reshape(tiles_y, tiles_x, cfg.tile_h, cfg.tile_w)
+            return c.transpose(0, 2, 1, 3).reshape(height, width)
+
+        z, tid, b0, b1 = untile(zt), untile(idt), untile(b0t), untile(b1t)
+    else:
+        z, tid, b0, b1 = _raster_tiles(
+            setup, candidates, width, height, cfg, float(depth_clear), depth_less)
     vb = VisibilityBuffer(depth=z, tri_id=tid, bary=jnp.stack([b0, b1], axis=-1))
     stats = RasterStats(
         max_bin_count=max_count,
@@ -339,6 +372,29 @@ def interpolate(vb: VisibilityBuffer, indices: Array, attr: Array,
     vidx = indices[tid]                                   # (H, W, 3)
     a = attr[vidx]                                        # (H, W, 3, C)
     out = jnp.sum(a * pbary[..., None], axis=-2)
+    return jnp.where((vb.tri_id >= 0)[..., None], out, background)
+
+
+def interpolate_all(vb: VisibilityBuffer, indices: Array, attrs: Array,
+                    winv: Array, background=0.0) -> Array:
+    """Single-gather perspective-correct interpolation of a packed per-vertex
+    attribute matrix (V, C) → (H, W, C).
+
+    Fuses what would be one gather per attribute (pos, normal, uv, ...) plus
+    the 1/w gather of `perspective_bary` into ONE vertex-data gather — the
+    dominant cost of the deferred-interpolation pass on TPU is gather traffic,
+    not arithmetic."""
+    tid = jnp.maximum(vb.tri_id, 0)
+    vidx = indices[tid]                                     # (H, W, 3)
+    packed = jnp.concatenate([attrs, winv[:, None]], axis=-1)[vidx]  # (H,W,3,C+1)
+    wi = packed[..., -1]                                    # (H, W, 3)
+    l0 = vb.bary[..., 0]
+    l1 = vb.bary[..., 1]
+    lam = jnp.stack([l0, l1, 1.0 - l0 - l1], axis=-1)
+    num = lam * wi
+    den = jnp.sum(num, axis=-1, keepdims=True)
+    pb = num / jnp.where(jnp.abs(den) < 1e-20, 1.0, den)
+    out = jnp.sum(packed[..., :-1] * pb[..., None], axis=-2)
     return jnp.where((vb.tri_id >= 0)[..., None], out, background)
 
 

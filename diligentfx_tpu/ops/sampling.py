@@ -169,6 +169,72 @@ def sample_env_oct(mips: Sequence[Array], direction: Array, lod: Array) -> Array
     return sample_mip_trilinear(mips, uv, lod, WRAP_CLAMP, WRAP_CLAMP)
 
 
+def sh9_basis(d: Array) -> Array:
+    """(..., 3) dirs → (..., 9) real spherical-harmonic basis values (l ≤ 2)."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    return jnp.stack([
+        jnp.full_like(x, 0.282095),
+        0.488603 * y, 0.488603 * z, 0.488603 * x,
+        1.092548 * x * y, 1.092548 * y * z,
+        0.315392 * (3.0 * z * z - 1.0),
+        1.092548 * x * z,
+        0.546274 * (x * x - y * y),
+    ], axis=-1)
+
+
+def flatten_mip_pyramid(mips: Sequence[Array]):
+    """Pack a square mip chain into one flat (P, C) array + (L,) offset/size
+    metadata, enabling O(2-level) trilinear sampling with dynamic level
+    selection (`sample_oct_pyramid`) instead of sampling every level."""
+    flat = jnp.concatenate([m.reshape(-1, m.shape[-1]) for m in mips], axis=0)
+    sizes = jnp.array([m.shape[0] for m in mips], jnp.int32)
+    offsets = jnp.array(
+        [0] + list(jnp.cumsum(jnp.array([m.shape[0] * m.shape[1] for m in mips]))[:-1]),
+        jnp.int32)
+    return flat, offsets, sizes
+
+
+def _pyramid_bilinear(flat: Array, offsets: Array, sizes: Array,
+                      level: Array, uv: Array) -> Array:
+    """Bilinear tap at a (per-pixel dynamic) mip level of a flattened square
+    pyramid.  level (...,) int32, uv (..., 2) in [0,1]."""
+    n = sizes[level]                                       # (...,)
+    off = offsets[level]
+    nf = n.astype(jnp.float32)
+    fx = uv[..., 0] * nf - 0.5
+    fy = uv[..., 1] * nf - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = (fx - x0.astype(jnp.float32))[..., None]
+    ty = (fy - y0.astype(jnp.float32))[..., None]
+    x0c = jnp.clip(x0, 0, n - 1)
+    x1c = jnp.clip(x0 + 1, 0, n - 1)
+    y0c = jnp.clip(y0, 0, n - 1)
+    y1c = jnp.clip(y0 + 1, 0, n - 1)
+    c00 = flat[off + y0c * n + x0c]
+    c10 = flat[off + y0c * n + x1c]
+    c01 = flat[off + y1c * n + x0c]
+    c11 = flat[off + y1c * n + x1c]
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    return top + (bot - top) * ty
+
+
+def sample_oct_pyramid(flat: Array, offsets: Array, sizes: Array,
+                       direction: Array, lod: Array) -> Array:
+    """Trilinear octahedral environment sample from a flattened pyramid:
+    exactly two bilinear taps per pixel regardless of chain length."""
+    num_levels = sizes.shape[0]
+    lod = jnp.clip(lod, 0.0, num_levels - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, num_levels - 1)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+    uv = dir_to_oct_uv(direction)
+    s0 = _pyramid_bilinear(flat, offsets, sizes, l0, uv)
+    s1 = _pyramid_bilinear(flat, offsets, sizes, l1, uv)
+    return s0 + (s1 - s0) * frac
+
+
 def equirect_to_oct(equirect: Array, res: int) -> Array:
     """Convert a lat-long (H, W, C) environment map to octahedral (res, res, C)."""
     d = oct_pixel_dirs(res)

@@ -50,7 +50,9 @@ def smith_ggx_visibility_correlated(ndotl: Array, ndotv: Array,
     a2 = alpha_roughness * alpha_roughness
     ggx_v = ndotl * jnp.sqrt(jnp.maximum(ndotv * ndotv * (1.0 - a2) + a2, 1e-7))
     ggx_l = ndotv * jnp.sqrt(jnp.maximum(ndotl * ndotl * (1.0 - a2) + a2, 1e-7))
-    return 0.5 / (ggx_v + ggx_l)
+    # Denominator clamp: keeps the forward value finite when NdotL=NdotV=0
+    # (masked later) so reverse-mode AD never sees 0 * inf = NaN.
+    return 0.5 / jnp.maximum(ggx_v + ggx_l, 1e-9)
 
 
 def smith_ggx_visibility_correlated_anisotropic(
@@ -60,7 +62,7 @@ def smith_ggx_visibility_correlated_anisotropic(
         (alpha_t * tdotv) ** 2 + (alpha_b * bdotv) ** 2 + ndotv * ndotv), 1e-3)
     ll = ndotv * jnp.maximum(jnp.sqrt(
         (alpha_t * tdotl) ** 2 + (alpha_b * bdotl) ** 2 + ndotl * ndotl), 1e-3)
-    return 0.5 / (lv + ll)
+    return 0.5 / jnp.maximum(lv + ll, 1e-9)
 
 
 def ndf_ggx(ndoth: Array, alpha_roughness: Array) -> Array:

@@ -139,6 +139,19 @@ def _sh9_basis(d: Array) -> Array:
     ], axis=-1)
 
 
+@jax.jit
+def project_sh9(env_oct: Array) -> Array:
+    """Octahedral env → (9, 3) cosine-convolved SH irradiance coefficients
+    scaled by 1/π (so eval(n) ≙ the reference's irradiance-map sample)."""
+    r = env_oct.shape[0]
+    dirs = oct_pixel_dirs(r).reshape(-1, 3)
+    sa = oct_solid_angles(r).reshape(-1, 1)
+    basis = _sh9_basis(dirs)
+    l_coeff = jnp.matmul(basis.T, env_oct.reshape(-1, 3) * sa,
+                         precision=jax.lax.Precision.HIGHEST)
+    return l_coeff * (_SH_A / PI)[:, None]
+
+
 @functools.partial(jax.jit, static_argnames=("out_dim",))
 def precompute_irradiance_oct(env_oct: Array, out_dim: int = 64) -> Array:
     """Octahedral env (R, R, 3) → octahedral irradiance (out_dim, out_dim, 3):
@@ -229,10 +242,13 @@ def precompute_ibl_maps(env_oct: Array, *, brdf_lut_dim: int = 512,
                         num_spec_samples: int = 256,
                         charlie_dim: int = 64) -> IBLMaps:
     """One-stop IBL precompute (PBR_Renderer::PrecomputeCubemaps analogue)."""
+    from diligentfx_tpu.ops.sampling import flatten_mip_pyramid
     lut = precompute_brdf_lut(brdf_lut_dim, num_brdf_samples)
     charlie = precompute_charlie_lut(charlie_dim, 256)
     irr = precompute_irradiance_oct(env_oct, irradiance_dim)
+    sh = project_sh9(env_oct)
     pref = prefilter_env_ggx_oct(env_oct, prefiltered_dim, num_mips, num_spec_samples)
+    flat, offsets, sizes = flatten_mip_pyramid(pref)
     # Sheen albedo-scaling LUT = directional albedo of the sheen layer
     # (reference loads it from SheenAlbedoScalingLUTPath, PBR_Renderer.hpp:300).
     return IBLMaps(
@@ -241,4 +257,8 @@ def precompute_ibl_maps(env_oct: Array, *, brdf_lut_dim: int = 512,
         preintegrated_ggx=lut,
         preintegrated_charlie=charlie,
         sheen_albedo_scaling=charlie,  # E(NdotV, r) — same integral
+        irradiance_sh=sh,
+        pref_flat=flat,
+        pref_offsets=offsets,
+        pref_sizes=sizes,
     )

@@ -211,11 +211,12 @@ def _render_frame(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     vb, _stats = rz.rasterize(clip, scene.indices, width=pad_w, height=pad_h,
                               cfg=cfg, double_sided=tri_ds)
 
-    # ---- interpolate G-buffer inputs ---------------------------------------
+    # ---- interpolate G-buffer inputs (single fused gather) ------------------
     winv = jnp.where(jnp.abs(clip[:, 3]) > 1e-12, 1.0 / clip[:, 3], 0.0)
-    pbary = rz.perspective_bary(vb, scene.indices, winv)
-    pos_px = rz.interpolate(vb, scene.indices, world_pos, pbary)
-    nrm_px = m3.normalize(rz.interpolate(vb, scene.indices, world_nrm, pbary))
+    packed_attrs = jnp.concatenate([world_pos, world_nrm], axis=-1)
+    interp = rz.interpolate_all(vb, scene.indices, packed_attrs, winv)
+    pos_px = interp[..., 0:3]
+    nrm_px = m3.normalize(interp[..., 3:6])
     hit = vb.tri_id >= 0
 
     # ---- per-pixel material -------------------------------------------------

@@ -173,12 +173,20 @@ class IBLMaps(NamedTuple):
     """Precomputed IBL resources (pbr/ibl.py): octahedral irradiance, GGX
     prefiltered octahedral mip chain, 2D split-sum LUT — the analogues of the
     irradiance cube / prefiltered env cube / PreintegratedGGX of the reference
-    (PBR_Renderer.hpp:477-480)."""
+    (PBR_Renderer.hpp:477-480).
+
+    TPU fast paths: `irradiance_sh` evaluates diffuse irradiance as a 9-term
+    polynomial per pixel (zero gathers); `pref_flat/offsets/sizes` is the
+    flattened prefiltered pyramid for 2-tap trilinear sampling."""
     irradiance: Array                 # (R, R, 3) octahedral
     prefiltered: tuple                # tuple of (Ri, Ri, 3) octahedral mips
     preintegrated_ggx: Array          # (L, L, 2): x=scale, y=bias over (NdotV, roughness)
     preintegrated_charlie: Array      # (L, L, 1)
     sheen_albedo_scaling: Array       # (L, L, 1)
+    irradiance_sh: Optional[Array] = None   # (9, 3) cosine-convolved/π
+    pref_flat: Optional[Array] = None       # (P, 3)
+    pref_offsets: Optional[Array] = None    # (L,)
+    pref_sizes: Optional[Array] = None      # (L,)
 
 
 # ---------------------------------------------------------------------------
@@ -290,6 +298,15 @@ def apply_punctual_lights(shading: SurfaceShadingInfo, lights: PBRLightAttribs,
 # ---------------------------------------------------------------------------
 
 
+def _sample_prefiltered(maps: IBLMaps, direction: Array, lod: Array) -> Array:
+    """Prefiltered env sample — flattened-pyramid fast path when available."""
+    if maps.pref_flat is not None:
+        from diligentfx_tpu.ops.sampling import sample_oct_pyramid
+        return sample_oct_pyramid(maps.pref_flat, maps.pref_offsets,
+                                  maps.pref_sizes, direction, lod)
+    return sample_env_oct(maps.prefiltered, direction, lod)
+
+
 def apply_ibl(shading: SurfaceShadingInfo, maps: IBLMaps,
               lighting: SurfaceLightingInfo) -> SurfaceLightingInfo:
     n = shading.base.normal
@@ -310,7 +327,12 @@ def apply_ibl(shading: SurfaceShadingInfo, maps: IBLMaps,
         k_s = k_s + (shading.iridescence.fresnel - k_s) * shading.iridescence.factor
 
     # Diffuse (GetLambertianIBL multiple-scattering path, PBR_Shading.fxh:317-345)
-    irradiance = sample_env_oct([maps.irradiance], n, jnp.zeros(n.shape[:-1]))
+    if maps.irradiance_sh is not None:
+        from diligentfx_tpu.ops.sampling import sh9_basis
+        irradiance = jnp.maximum(
+            jnp.einsum("...k,kc->...c", sh9_basis(n), maps.irradiance_sh), 0.0)
+    else:
+        irradiance = sample_env_oct([maps.irradiance], n, jnp.zeros(n.shape[:-1]))
     fss_ess = k_s * pre_int[..., 0:1] + pre_int[..., 1:2]
     ess = pre_int[..., 0:1] + pre_int[..., 1:2]
     ems = 1.0 - ess
@@ -335,7 +357,7 @@ def apply_ibl(shading: SurfaceShadingInfo, maps: IBLMaps,
         n_spec = n
     l = normalize(reflect(-v, n_spec))
     lod = srf.perceptual_roughness[..., 0] * last_mip
-    spec_light = sample_env_oct(maps.prefiltered, l, lod)
+    spec_light = _sample_prefiltered(maps, l, lod)
     specular_ibl = spec_light * (k_s * pre_int[..., 0:1] + pre_int[..., 1:2])
 
     new_sheen = lighting.sheen
@@ -343,7 +365,7 @@ def apply_ibl(shading: SurfaceShadingInfo, maps: IBLMaps,
         s_uv = jnp.concatenate([ndotv, shading.sheen.roughness], axis=-1)
         s_brdf = bilinear_sample(maps.preintegrated_charlie, s_uv)
         s_lod = shading.sheen.roughness[..., 0] * last_mip
-        s_light = sample_env_oct(maps.prefiltered, normalize(reflect(-v, n)), s_lod)
+        s_light = _sample_prefiltered(maps, normalize(reflect(-v, n)), s_lod)
         new_sheen = lighting.sheen._replace(
             specular_ibl=s_light * shading.sheen.color * s_brdf)
 
@@ -355,7 +377,7 @@ def apply_ibl(shading: SurfaceShadingInfo, maps: IBLMaps,
         cc_int = bilinear_sample(maps.preintegrated_ggx, cc_uv)
         cc_l = normalize(reflect(-v, cc.normal))
         cc_lod = cc.srf.perceptual_roughness[..., 0] * last_mip
-        cc_light = sample_env_oct(maps.prefiltered, cc_l, cc_lod)
+        cc_light = _sample_prefiltered(maps, cc_l, cc_lod)
         new_cc = lighting.clearcoat._replace(
             specular_ibl=cc_light * (cc.srf.reflectance0 * cc_int[..., 0:1]
                                      + cc.srf.reflectance90 * cc_int[..., 1:2]))
