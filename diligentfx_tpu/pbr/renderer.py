@@ -114,6 +114,11 @@ class RenderInfo(NamedTuple):
     lights: PBRLightAttribs
     renderer_params: PBRRendererShaderParameters
     model_transform: Array = None  # (4,4) optional extra scene transform
+    # Cascaded-shadow inputs for the first shadow-casting light
+    # (PBRShadowMapInfo analogue); None disables shadows.
+    shadow_attribs: object = None       # components.shadow_map_manager.ShadowMapAttribs
+    shadow_maps: Array = None           # (C, S, S) depth
+    shadow_moments: Array = None        # (C, S, S, M) for VSM/EVSM modes
 
 
 def transform_vertices(scene: ScenePrimitives, model: Optional[Array] = None):
@@ -174,11 +179,15 @@ class PBRRenderer:
                flags: PSOFlags = None,
                debug_view: DebugViewType = DebugViewType.NONE,
                tone_mapping_mode: ToneMappingMode = ToneMappingMode.UNCHARTED2,
-               convert_output_to_srgb: bool = True) -> Array:
+               convert_output_to_srgb: bool = True,
+               shadow_mode: "ShadowMode" = None) -> Array:
         """Render one frame → (height, width, 3).  Static args select the
         traced variant (jit/PSO-cache analogue)."""
         if flags is None:
             flags = PSOFlags.DEFAULT()
+        use_shadows = bool(self.ci.enable_shadows
+                           and info.shadow_attribs is not None)
+        from diligentfx_tpu.config import ShadowMode as SM
         return _render_frame(
             scene, info, self.ibl_maps, self.env_oct,
             width=width, height=height, cfg=self.raster_cfg,
@@ -189,17 +198,21 @@ class PBRRenderer:
                                if PSOFlags.ENABLE_TONE_MAPPING in flags
                                else ToneMappingMode.NONE),
             convert_output_to_srgb=convert_output_to_srgb,
+            shadow_mode=(shadow_mode or SM.PCF) if use_shadows else None,
+            pcf_kernel_size=self.ci.pcf_kernel_size,
         )
 
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "cfg", "use_ibl", "use_lights", "debug_view",
-    "tone_mapping_mode", "convert_output_to_srgb"))
+    "tone_mapping_mode", "convert_output_to_srgb", "shadow_mode",
+    "pcf_kernel_size"))
 def _render_frame(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                   *, width: int, height: int, cfg: RasterizerConfig,
                   use_ibl: bool, use_lights: bool, debug_view: DebugViewType,
                   tone_mapping_mode: ToneMappingMode,
-                  convert_output_to_srgb: bool) -> Array:
+                  convert_output_to_srgb: bool,
+                  shadow_mode=None, pcf_kernel_size: int = 3) -> Array:
     pad_w, pad_h = rz.pad_viewport(width, height, cfg)
 
     # ---- vertex stage -------------------------------------------------------
@@ -242,7 +255,25 @@ def _render_frame(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     )
     lighting = sh.default_lighting(pos_px)
     if use_lights:
-        lighting = sh.apply_punctual_lights(shading, info.lights, lighting)
+        shadow_factors = None
+        if shadow_mode is not None:
+            # Cascaded shadow factor for the first shadow-casting light
+            # (the analogue of inline FilterShadowMapFixedPCF at
+            # PBR_Shading.fxh:646-668, run as a vectorized pass).
+            from diligentfx_tpu.components.shadow_map_manager import (
+                sample_cascaded_shadows)
+            cam_view_z = -m3.transform_points(pos_px, info.camera.view)[..., 2]
+            factor = sample_cascaded_shadows(
+                pos_px, cam_view_z, info.shadow_attribs, info.shadow_maps,
+                mode=shadow_mode, pcf_kernel_size=pcf_kernel_size,
+                moments=info.shadow_moments)
+            n_lights = info.lights.count
+            ones = jnp.ones_like(factor)
+            shadow_factors = jnp.stack(
+                [jnp.where(info.lights.shadow_map_index[i] >= 0, factor, ones)
+                 for i in range(n_lights)], axis=0)
+        lighting = sh.apply_punctual_lights(shading, info.lights, lighting,
+                                            shadow_factors=shadow_factors)
     if use_ibl and ibl_maps is not None:
         lighting = sh.apply_ibl(shading, ibl_maps, lighting)
     color = sh.resolve_lighting(shading, lighting)

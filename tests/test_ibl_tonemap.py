@@ -99,9 +99,10 @@ def test_tonemap_modes_sane(mode):
     o = np.asarray(out)
     assert np.isfinite(o).all(), mode
     assert (o >= -1e-3).all(), mode
-    # Bright input compresses to bounded output (NONE passes through;
-    # REINHARD_MOD legitimately exceeds 1 when luminance >> white point)
-    if mode not in (ToneMappingMode.NONE, ToneMappingMode.REINHARD_MOD):
+    # Bright input compresses to bounded output. NONE passes through;
+    # REINHARD_MOD and UNCHARTED2 legitimately exceed 1 above the white point.
+    if mode not in (ToneMappingMode.NONE, ToneMappingMode.REINHARD_MOD,
+                    ToneMappingMode.UNCHARTED2):
         assert o[2].max() < 1.6, (mode, o[2])
 
 
