@@ -99,10 +99,14 @@ def test_tonemap_modes_sane(mode):
     o = np.asarray(out)
     assert np.isfinite(o).all(), mode
     assert (o >= -1e-3).all(), mode
-    # Bright input compresses to bounded output. NONE passes through;
-    # REINHARD_MOD and UNCHARTED2 legitimately exceed 1 above the white point.
-    if mode not in (ToneMappingMode.NONE, ToneMappingMode.REINHARD_MOD,
-                    ToneMappingMode.UNCHARTED2):
+    # Bright input compresses to bounded output for the operators with a
+    # hard shoulder. (NONE passes through; REINHARD_MOD / UNCHARTED2 /
+    # LOGARITHMIC / ADAPTIVE_LOG legitimately exceed 1 above the white point.)
+    bounded = (ToneMappingMode.EXP, ToneMappingMode.REINHARD,
+               ToneMappingMode.FILMIC_ALU, ToneMappingMode.AGX,
+               ToneMappingMode.AGX_CUSTOM, ToneMappingMode.PBR_NEUTRAL,
+               ToneMappingMode.COMMERCE)
+    if mode in bounded:
         assert o[2].max() < 1.6, (mode, o[2])
 
 
