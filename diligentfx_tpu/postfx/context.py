@@ -1,0 +1,196 @@
+"""PostFX shared per-frame services — the analogue of PostFXContext
+(PostProcess/Common/interface/PostFXContext.hpp:48-263):
+
+  * camera constants for current + previous frame (reprojection),
+  * per-pixel dither noise — the reference builds 128² blue-noise textures
+    from Sobol + scrambling tiles (ComputeBlueNoiseTexture.fx); on TPU we use
+    *analytic* low-discrepancy noise (interleaved-gradient + R2 sequence,
+    animated by frame index) — zero texture fetches, same role,
+  * depth utilities: linearization, view/world position reconstruction,
+  * previous-depth reprojection and 3×3 closest-motion dilation
+    (PostFXContext.hpp:178-188 techniques).
+
+Feature flags (`REVERSED_DEPTH`, `HALF_PRECISION_DEPTH`) become ordinary
+static booleans on the functions that care.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from diligentfx_tpu import math3d as m3
+from diligentfx_tpu.attribs import CameraAttribs
+
+Array = jax.Array
+
+
+class PostFXFrameDesc(NamedTuple):
+    """PostFXContext::FrameDesc analogue: indexes + dims of the frame."""
+    index: Array       # () int32 frame counter
+    width: int
+    height: int
+
+
+class PostFXResources(NamedTuple):
+    """Per-frame shared products handed to every effect."""
+    camera: CameraAttribs
+    prev_camera: CameraAttribs
+    depth: Array               # (H, W) NDC depth
+    prev_depth: Array          # (H, W)
+    motion: Array              # (H, W, 2) NDC->uv-space motion (cur - prev)
+    closest_motion: Array      # (H, W, 2) 3x3 closest-front dilated motion
+    frame_index: Array         # ()
+
+
+# ---------------------------------------------------------------------------
+# Analytic noise (blue-noise replacement)
+# ---------------------------------------------------------------------------
+
+
+def interleaved_gradient_noise(height: int, width: int, frame_index) -> Array:
+    """Jimenez interleaved gradient noise, temporally scrambled — the role of
+    the blue-noise texture pair (PostFXContext RESOURCE_IDENTIFIER_BLUE_NOISE,
+    hpp:198-201) without any texture."""
+    x = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    f = jnp.asarray(frame_index, jnp.float32)
+    # golden-ratio temporal offset
+    x = x + 5.588238 * jnp.mod(f, 64.0)
+    y = y + 5.588238 * jnp.mod(f, 64.0)
+    return jnp.mod(52.9829189 * jnp.mod(0.06711056 * x + 0.00583715 * y, 1.0), 1.0)
+
+
+def r2_noise_pair(height: int, width: int, frame_index) -> Array:
+    """(H, W, 2) quasi-random pair per pixel (R2 sequence over pixel index +
+    golden-angle frame rotation) — used where the reference samples the
+    Sobol scrambling texture for 2D sample points."""
+    x = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    n = y * width + x + jnp.asarray(frame_index, jnp.float32) * (width * height)
+    g = 1.32471795724474602596
+    a1, a2 = 1.0 / g, 1.0 / (g * g)
+    return jnp.stack([jnp.mod(0.5 + a1 * n, 1.0), jnp.mod(0.5 + a2 * n, 1.0)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Depth / position utilities
+# ---------------------------------------------------------------------------
+
+
+def depth_to_camera_z(depth: Array, camera: CameraAttribs,
+                      reversed_z: bool = False) -> Array:
+    """NDC depth → positive view-space distance (DepthToCameraZ analogue)."""
+    n = camera.near_z
+    f = camera.far_z
+    d = 1.0 - depth if reversed_z else depth
+    # D3D-style projection: d = (z_view_dist*f - n*f) / (z*(f-n)) solved:
+    return n * f / jnp.maximum(f - d * (f - n), 1e-12)
+
+
+def reconstruct_world_pos(depth: Array, camera: CameraAttribs) -> Array:
+    """Per-pixel world position from NDC depth (ScreenXYDepthToWorld)."""
+    h, w = depth.shape
+    x = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w * 2.0 - 1.0
+    y = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h * 2.0
+    ndc = jnp.stack([x, y, depth, jnp.ones_like(depth)], axis=-1)
+    world = jnp.einsum("hwi,ij->hwj", ndc, camera.view_proj_inv,
+                       precision=jax.lax.Precision.HIGHEST)
+    return world[..., :3] / world[..., 3:4]
+
+
+def compute_camera_motion(depth: Array, camera: CameraAttribs,
+                          prev_camera: CameraAttribs) -> Array:
+    """Static-geometry motion vectors in uv units (cur_uv - prev_uv):
+    reproject each pixel's world position through the previous view-proj
+    (the camera-motion part of COMPUTE_MOTION_VECTORS, RenderPBR.psh:565-571).
+    Per-object motion adds the node-delta term in the G-buffer pass."""
+    h, w = depth.shape
+    world = reconstruct_world_pos(depth, camera)
+    prev_clip = m3.transform_points(world, prev_camera.view_proj)
+    prev_ndc = prev_clip[..., :2] / jnp.where(
+        jnp.abs(prev_clip[..., 3:4]) < 1e-9, 1e-9, prev_clip[..., 3:4])
+    x = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
+    y = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
+    cur_uv = jnp.stack([x, y], axis=-1)
+    prev_uv = jnp.stack([prev_ndc[..., 0] * 0.5 + 0.5,
+                         0.5 - prev_ndc[..., 1] * 0.5], axis=-1)
+    return cur_uv - prev_uv
+
+
+def dilate_closest_motion(depth: Array, motion: Array,
+                          reversed_z: bool = False) -> Array:
+    """3×3 closest-depth motion dilation (ComputeClosestMotion technique,
+    PostFXContext.hpp:183): each pixel takes the motion of the nearest
+    depth in its 3×3 neighborhood — stabilizes TAA on silhouettes."""
+    h, w = depth.shape
+    best_d = depth
+    best_m = motion
+    sign = -1.0 if reversed_z else 1.0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            d = jnp.roll(depth, (-dy, -dx), axis=(0, 1))
+            mv = jnp.roll(motion, (-dy, -dx), axis=(0, 1))
+            take = sign * d < sign * best_d
+            best_d = jnp.where(take, d, best_d)
+            best_m = jnp.where(take[..., None], mv, best_m)
+    return best_m
+
+
+def prepare_postfx_resources(depth: Array, camera: CameraAttribs,
+                             prev_camera: CameraAttribs,
+                             prev_depth: Optional[Array],
+                             frame_index,
+                             object_motion: Optional[Array] = None,
+                             reversed_z: bool = False) -> PostFXResources:
+    """PostFXContext::PrepareResources + Execute analogue."""
+    motion = compute_camera_motion(depth, camera, prev_camera)
+    if object_motion is not None:
+        motion = object_motion
+    closest = dilate_closest_motion(depth, motion, reversed_z)
+    return PostFXResources(
+        camera=camera, prev_camera=prev_camera,
+        depth=depth,
+        prev_depth=prev_depth if prev_depth is not None else depth,
+        motion=motion, closest_motion=closest,
+        frame_index=jnp.asarray(frame_index, jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# TAA jitter sequence (TemporalAntiAliasing::GetJitterOffset analogue)
+# ---------------------------------------------------------------------------
+
+
+def halton(index: int, base: int) -> float:
+    f, r = 1.0, 0.0
+    i = index
+    while i > 0:
+        f /= base
+        r += f * (i % base)
+        i //= base
+    return r
+
+
+def taa_jitter_sequence(length: int = 16) -> jnp.ndarray:
+    """(N, 2) Halton(2,3) jitter in [-0.5, 0.5] pixel units."""
+    pts = [(halton(i + 1, 2) - 0.5, halton(i + 1, 3) - 0.5) for i in range(length)]
+    return jnp.asarray(pts, jnp.float32)
+
+
+def jitter_to_ndc(jitter_px, width: int, height: int):
+    """Pixel-unit jitter → NDC offset to add to the projection (f2Jitter)."""
+    j = jnp.asarray(jitter_px, jnp.float32)
+    return jnp.stack([2.0 * j[0] / width, -2.0 * j[1] / height])
+
+
+def apply_jitter_to_proj(proj: Array, jitter_ndc) -> Array:
+    """Offset the projection so post-divide NDC shifts by `jitter_ndc`.
+
+    Row-vector pipeline with w_clip = -z_view (perspective): ndc.x += j.x
+    requires clip.x += j.x * clip.w, i.e. column 0 += j.x * column 3; only
+    P[2,3] = -1 is nonzero in column 3."""
+    j = jnp.asarray(jitter_ndc, jnp.float32)
+    return proj.at[2, 0].add(-j[0]).at[2, 1].add(-j[1])

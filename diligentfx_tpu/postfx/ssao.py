@@ -1,0 +1,204 @@
+"""Screen-space ambient occlusion — the analogue of
+PostProcess/ScreenSpaceAmbientOcclusion (XeGTAO-based, README:22; passes at
+interface:144-152): ground-truth ambient occlusion via horizon-slice integral,
+half-resolution option with depth-aware upsampling, spatial bilateral denoise,
+optional temporal accumulation.
+
+TPU notes: per-pixel ray taps are bilinear depth gathers; slice count ×
+step count is static; the per-frame slice rotation comes from analytic IGN
+noise (postfx/context.py) instead of the reference's blue-noise texture.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from diligentfx_tpu.attribs import CameraAttribs
+from diligentfx_tpu.math3d import normalize
+from diligentfx_tpu.ops.sampling import bilinear_sample
+from diligentfx_tpu.postfx.context import (depth_to_camera_z,
+                                           interleaved_gradient_noise)
+
+Array = jax.Array
+PI = 3.141592653589793
+
+
+class SSAOSettings(NamedTuple):
+    """ScreenSpaceAmbientOcclusionAttribs analogue."""
+    effect_radius: Array = jnp.float32(1.0)        # world units
+    effect_falloff_range: Array = jnp.float32(0.615)
+    radius_multiplier: Array = jnp.float32(1.0)
+    depth_mip_sampling_offset: Array = jnp.float32(3.3)
+    temporal_stability_factor: Array = jnp.float32(0.9)
+    spatial_reconstruction_radius: Array = jnp.float32(4.0)
+
+
+def view_space_position(depth: Array, camera: CameraAttribs) -> Array:
+    """Per-pixel view-space position (x right, y up, looking down -Z)."""
+    h, w = depth.shape
+    z = depth_to_camera_z(depth, camera)                     # positive dist
+    x_ndc = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w * 2 - 1
+    y_ndc = 1 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h * 2
+    p00 = camera.proj[0, 0]
+    p11 = camera.proj[1, 1]
+    return jnp.stack([x_ndc * z / p00, y_ndc * z / p11, -z], axis=-1)
+
+
+def view_space_normal_from_depth(depth: Array, camera: CameraAttribs) -> Array:
+    """Cross-derivative normal reconstruction (when no G-buffer normal)."""
+    p = view_space_position(depth, camera)
+    dx = jnp.roll(p, -1, axis=1) - p
+    dy = jnp.roll(p, -1, axis=0) - p
+    n = jnp.cross(dy, dx)
+    return normalize(n)
+
+
+def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
+                 frame_index, settings: SSAOSettings = SSAOSettings(),
+                 num_slices: int = 3, num_steps: int = 6) -> Array:
+    """GTAO horizon-slice integral (the SSAO ComputeAO pass).
+
+    depth: (H, W) NDC depth; normal_vs: (H, W, 3) view-space normal.
+    Returns (H, W) ambient visibility in [0, 1].
+    """
+    h, w = depth.shape
+    pos = view_space_position(depth, camera)
+    view_z = -pos[..., 2]
+    v = normalize(-pos)                                      # to camera
+
+    noise = interleaved_gradient_noise(h, w, frame_index)
+
+    # screen-space radius: project world radius at this depth
+    radius = settings.effect_radius * settings.radius_multiplier
+    p11 = camera.proj[1, 1]
+    radius_px = radius * p11 * (h * 0.5) / jnp.maximum(view_z, 1e-4)
+    radius_px = jnp.clip(radius_px, 2.0, float(max(h, w)) * 0.25)
+
+    falloff_range = settings.effect_falloff_range * radius
+    falloff_from = radius * (1.0 - settings.effect_falloff_range)
+
+    xi = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5)
+    yi = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5)
+
+    visibility = jnp.zeros((h, w), jnp.float32)
+
+    for s in range(num_slices):
+        phi = (s + noise) * (PI / num_slices)
+        cos_p = jnp.cos(phi)
+        sin_p = jnp.sin(phi)
+        # slice direction in screen space (y down)
+        dir_px = jnp.stack([cos_p, -sin_p], axis=-1)
+
+        # project the slice onto the tangent plane (GTAO formulation)
+        # slice axis in view space
+        slice_dir = jnp.stack([cos_p, sin_p, jnp.zeros_like(cos_p)], axis=-1)
+        ortho = slice_dir - v * jnp.sum(slice_dir * v, -1, keepdims=True)
+        axis = normalize(jnp.cross(ortho, v))
+        # projected normal onto slice plane
+        n_proj = normal_vs - axis * jnp.sum(normal_vs * axis, -1, keepdims=True)
+        n_proj_len = jnp.sqrt(jnp.maximum(
+            jnp.sum(n_proj * n_proj, -1), 1e-8))
+        cos_norm = jnp.clip(jnp.sum(n_proj * v, -1) / n_proj_len, -1.0, 1.0)
+        n_angle = jnp.arccos(cos_norm) * jnp.sign(
+            jnp.sum(n_proj * ortho, -1))
+
+        # horizon search both directions
+        best_cos = [jnp.full((h, w), -1.0, jnp.float32),
+                    jnp.full((h, w), -1.0, jnp.float32)]
+        for side, sgn in ((0, 1.0), (1, -1.0)):
+            for step in range(num_steps):
+                t = (step + 0.5 + 0.5 * noise) / num_steps
+                t = t * t                                      # denser near center
+                off = dir_px * (sgn * t * radius_px)[..., None]
+                su = (xi + off[..., 0]) / w
+                sv = (yi + off[..., 1]) / h
+                uv = jnp.stack([su, sv], axis=-1)
+                d = bilinear_sample(depth[..., None], uv)[..., 0]
+                sp = _uv_depth_to_view(uv, d, camera)
+                delta = sp - pos
+                dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-10))
+                cos_h = jnp.sum(delta * v, -1) / dist
+                # distance falloff (thin-object rejection)
+                weight = jnp.clip(1.0 - (dist - falloff_from) /
+                                  jnp.maximum(falloff_range, 1e-5), 0.0, 1.0)
+                cos_h = cos_h * weight - (1.0 - weight)
+                best_cos[side] = jnp.maximum(best_cos[side], cos_h)
+
+        h0 = -jnp.arccos(jnp.clip(best_cos[0], -1.0, 1.0))
+        h1 = jnp.arccos(jnp.clip(best_cos[1], -1.0, 1.0))
+        # clamp horizons to the normal hemisphere
+        h0 = n_angle + jnp.maximum(h0 - n_angle, -PI / 2)
+        h1 = n_angle + jnp.minimum(h1 - n_angle, PI / 2)
+        # GTAO arc integral (cosine-weighted)
+        a = (0.25 * (-jnp.cos(2.0 * h0 - n_angle) + jnp.cos(n_angle) + 2.0 * h0 * jnp.sin(n_angle))
+             + 0.25 * (-jnp.cos(2.0 * h1 - n_angle) + jnp.cos(n_angle) + 2.0 * h1 * jnp.sin(n_angle)))
+        visibility = visibility + n_proj_len * a
+
+    return jnp.clip(visibility / num_slices, 0.0, 1.0)
+
+
+def _uv_depth_to_view(uv: Array, depth: Array, camera: CameraAttribs) -> Array:
+    z = depth_to_camera_z(depth, camera)
+    x_ndc = uv[..., 0] * 2.0 - 1.0
+    y_ndc = 1.0 - uv[..., 1] * 2.0
+    return jnp.stack([x_ndc * z / camera.proj[0, 0],
+                      y_ndc * z / camera.proj[1, 1], -z], axis=-1)
+
+
+def bilateral_blur(ao: Array, depth: Array, camera: CameraAttribs,
+                   radius: int = 3, depth_sigma: float = 0.05) -> Array:
+    """Depth-aware separable blur (the SpatialReconstruction pass analogue)."""
+    z = depth_to_camera_z(depth, camera)
+    out = ao
+    for axis in (0, 1):
+        acc = jnp.zeros_like(out)
+        wacc = jnp.zeros_like(out)
+        for d in range(-radius, radius + 1):
+            a = jnp.roll(out, -d, axis=axis)
+            zz = jnp.roll(z, -d, axis=axis)
+            wz = jnp.exp(-jnp.abs(zz - z) / (depth_sigma * jnp.maximum(z, 1e-3)))
+            wg = float(jnp.exp(-0.5 * (d / max(radius * 0.6, 1e-3)) ** 2))
+            acc = acc + a * wz * wg
+            wacc = wacc + wz * wg
+        out = acc / jnp.maximum(wacc, 1e-6)
+    return out
+
+
+class SSAOState(NamedTuple):
+    history: Array  # (H, W)
+
+
+def apply_ssao(depth: Array, normal_vs: Array, camera: CameraAttribs,
+               frame_index, settings: SSAOSettings = SSAOSettings(),
+               state: Optional[SSAOState] = None,
+               motion: Optional[Array] = None,
+               half_resolution: bool = True,
+               num_slices: int = 3, num_steps: int = 6
+               ) -> Tuple[Array, SSAOState]:
+    """Full SSAO effect (PrepareResources+Execute): AO compute (optionally at
+    half res), bilateral denoise, temporal accumulation, upsample."""
+    h, w = depth.shape
+    if half_resolution:
+        d2 = depth[::2, ::2]
+        n2 = normal_vs[::2, ::2]
+        ao = compute_gtao(d2, n2, camera, frame_index, settings,
+                          num_slices, num_steps)
+        ao = bilateral_blur(ao, d2, camera)
+        ao = jax.image.resize(ao, (h, w), method="bilinear")
+    else:
+        ao = compute_gtao(depth, normal_vs, camera, frame_index, settings,
+                          num_slices, num_steps)
+        ao = bilateral_blur(ao, depth, camera)
+
+    if state is not None and motion is not None:
+        xg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
+        yg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
+        prev_uv = jnp.stack([xg, yg], axis=-1) - motion
+        hist = bilinear_sample(state.history[..., None], prev_uv)[..., 0]
+        in_b = ((prev_uv[..., 0] >= 0) & (prev_uv[..., 0] <= 1)
+                & (prev_uv[..., 1] >= 0) & (prev_uv[..., 1] <= 1))
+        alpha = jnp.where(in_b, 1.0 - settings.temporal_stability_factor, 1.0)
+        ao = hist + (ao - hist) * alpha
+    return ao, SSAOState(history=ao)

@@ -1,0 +1,159 @@
+"""Temporal anti-aliasing — the analogue of PostProcess/TemporalAntiAliasing
+(interface:64-73 feature flags; TAA_ComputeTemporalAccumulation.fx):
+variance-clipped history accumulation in YCoCg, bicubic (Catmull-Rom) history
+filtering, closest-motion reprojection, sample-count-based blend ramp.
+
+One call = the single accumulation pass of the reference.  State = the
+accumulated color buffer + per-pixel sample count ("NumSamples" in the
+reference's history buffer alpha channel).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from diligentfx_tpu.postfx.context import PostFXResources
+
+Array = jax.Array
+
+
+class TAAFeatureFlags:
+    NONE = 0
+    GAUSSIAN_WEIGHTING = 1 << 0
+    BICUBIC_FILTER = 1 << 1
+    YCOCG_COLOR_SPACE = 1 << 2
+
+
+class TAASettings(NamedTuple):
+    """TemporalAntiAliasingAttribs analogue (dynamic)."""
+    temporal_stability_factor: Array = jnp.float32(0.9375)  # history weight cap
+    variance_gamma: Array = jnp.float32(1.0)                # clip box size
+    skip_rejection: Array = jnp.asarray(False)              # static frames
+
+
+class TAAState(NamedTuple):
+    color: Array        # (H, W, 3) accumulated
+    sample_count: Array  # (H, W) float
+
+
+def rgb_to_ycocg(c: Array) -> Array:
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    return jnp.stack([
+        0.25 * r + 0.5 * g + 0.25 * b,
+        0.5 * r - 0.5 * b,
+        -0.25 * r + 0.5 * g - 0.25 * b,
+    ], axis=-1)
+
+
+def ycocg_to_rgb(c: Array) -> Array:
+    y, co, cg = c[..., 0], c[..., 1], c[..., 2]
+    return jnp.stack([y + co - cg, y + cg, y - co - cg], axis=-1)
+
+
+def _neighborhood_moments(color: Array, gaussian: bool = True):
+    """3×3 mean/variance via shifts (no gathers)."""
+    if gaussian:
+        w = jnp.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], jnp.float32) / 16.0
+    else:
+        w = jnp.ones((3, 3), jnp.float32) / 9.0
+    m1 = jnp.zeros_like(color)
+    m2 = jnp.zeros_like(color)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            c = jnp.roll(color, (-dy, -dx), axis=(0, 1))
+            ww = w[dy + 1, dx + 1]
+            m1 = m1 + c * ww
+            m2 = m2 + c * c * ww
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    return m1, jnp.sqrt(var)
+
+
+def _sample_history_bilinear(history: Array, uv: Array) -> Array:
+    from diligentfx_tpu.ops.sampling import bilinear_sample
+    return bilinear_sample(history, uv)
+
+
+def _sample_history_catmull_rom(history: Array, uv: Array) -> Array:
+    """9-tap optimized Catmull-Rom (Jimenez) — BICUBIC_FILTER flag path."""
+    h, w = history.shape[:2]
+    size = jnp.array([w, h], jnp.float32)
+    pos = uv * size
+    center = jnp.floor(pos - 0.5) + 0.5
+    f = pos - center
+    f2 = f * f
+    f3 = f2 * f
+    w0 = -0.5 * f3 + f2 - 0.5 * f
+    w1 = 1.5 * f3 - 2.5 * f2 + 1.0
+    w2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
+    w3 = 0.5 * f3 - 0.5 * f2
+    w12 = w1 + w2
+    offset12 = w2 / jnp.where(jnp.abs(w12) < 1e-6, 1.0, w12)
+
+    from diligentfx_tpu.ops.sampling import bilinear_sample
+
+    def tap(px, wgt):
+        return bilinear_sample(history, px / size) * wgt[..., None]
+
+    tl = center - 1.0
+    t12 = center + offset12
+    br = center + 2.0
+    acc = tap(jnp.stack([tl[..., 0], tl[..., 1]], -1), w0[..., 0] * w0[..., 1])
+    acc += tap(jnp.stack([t12[..., 0], tl[..., 1]], -1), w12[..., 0] * w0[..., 1])
+    acc += tap(jnp.stack([br[..., 0], tl[..., 1]], -1), w3[..., 0] * w0[..., 1])
+    acc += tap(jnp.stack([tl[..., 0], t12[..., 1]], -1), w0[..., 0] * w12[..., 1])
+    acc += tap(jnp.stack([t12[..., 0], t12[..., 1]], -1), w12[..., 0] * w12[..., 1])
+    acc += tap(jnp.stack([br[..., 0], t12[..., 1]], -1), w3[..., 0] * w12[..., 1])
+    acc += tap(jnp.stack([tl[..., 0], br[..., 1]], -1), w0[..., 0] * w3[..., 1])
+    acc += tap(jnp.stack([t12[..., 0], br[..., 1]], -1), w12[..., 0] * w3[..., 1])
+    acc += tap(jnp.stack([br[..., 0], br[..., 1]], -1), w3[..., 0] * w3[..., 1])
+    wsum = ((w0[..., 0] + w12[..., 0] + w3[..., 0])
+            * (w0[..., 1] + w12[..., 1] + w3[..., 1]))[..., None]
+    return acc / jnp.maximum(wsum, 1e-6)
+
+
+def taa_accumulate(color: Array, state: Optional[TAAState],
+                   resources: PostFXResources,
+                   settings: TAASettings = TAASettings(),
+                   feature_flags: int = (TAAFeatureFlags.BICUBIC_FILTER
+                                         | TAAFeatureFlags.YCOCG_COLOR_SPACE
+                                         | TAAFeatureFlags.GAUSSIAN_WEIGHTING),
+                   ) -> Tuple[Array, TAAState]:
+    """One temporal accumulation step.  Returns (antialiased, new_state)."""
+    h, w = color.shape[:2]
+    if state is None:
+        return color, TAAState(color=color, sample_count=jnp.ones((h, w), jnp.float32))
+
+    x = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
+    y = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
+    prev_uv = jnp.stack([x, y], axis=-1) - resources.closest_motion
+
+    if feature_flags & TAAFeatureFlags.BICUBIC_FILTER:
+        hist = _sample_history_catmull_rom(state.color, prev_uv)
+    else:
+        hist = _sample_history_bilinear(state.color, prev_uv)
+    hist_count = _sample_history_bilinear(state.sample_count[..., None], prev_uv)[..., 0]
+
+    in_bounds = ((prev_uv[..., 0] >= 0.0) & (prev_uv[..., 0] <= 1.0)
+                 & (prev_uv[..., 1] >= 0.0) & (prev_uv[..., 1] <= 1.0))
+
+    use_ycocg = bool(feature_flags & TAAFeatureFlags.YCOCG_COLOR_SPACE)
+    cur_cs = rgb_to_ycocg(color) if use_ycocg else color
+    hist_cs = rgb_to_ycocg(jnp.maximum(hist, 0.0)) if use_ycocg else hist
+
+    mean, std = _neighborhood_moments(
+        cur_cs, gaussian=bool(feature_flags & TAAFeatureFlags.GAUSSIAN_WEIGHTING))
+    lo = mean - settings.variance_gamma * std
+    hi = mean + settings.variance_gamma * std
+    clipped = jnp.clip(hist_cs, lo, hi)
+    hist_cs = jnp.where(settings.skip_rejection, hist_cs, clipped)
+
+    count = jnp.where(in_bounds, hist_count + 1.0, 1.0)
+    alpha = jnp.maximum(1.0 / count, 1.0 - settings.temporal_stability_factor)
+    alpha = jnp.where(in_bounds, alpha, 1.0)[..., None]
+
+    out_cs = hist_cs + (cur_cs - hist_cs) * alpha
+    out = ycocg_to_rgb(out_cs) if use_ycocg else out_cs
+    out = jnp.maximum(out, 0.0)
+    return out, TAAState(color=out, sample_count=jnp.minimum(count, 64.0))
