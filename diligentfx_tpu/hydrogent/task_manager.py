@@ -1,0 +1,242 @@
+"""Frame task graph — the analogue of Hydrogent's HnTaskManager
+(interface/Tasks/HnTaskManager.hpp:53-158) + HnPostProcessTask
+(src/Tasks/HnPostProcessTask.cpp:743-943).
+
+Task mapping (reference task UID → here):
+  BeginFrame            → jittered camera + frame constants (this fn)
+  RenderShadows         → cascade distribution + depth passes
+  BeginMainPass/RenderRprims(Default/Masked) → render_gbuffer (one mega pass;
+                          alpha-mode ordering is irrelevant in a visibility
+                          buffer — masked/blend handled by OIT, see oit.py)
+  RenderEnvMap          → G-buffer background layer
+  ComputeDepthBounds    → components/depth_range.py
+  ReadRprimId           → the mesh_id AOV (picking = array indexing; the
+                          GPU→CPU readback boundary becomes device_get)
+  ProcessSelection      → components/selection.py (jump flood)
+  PostProcess           → PostFXContext + SSAO + SSR + composite + TAA +
+                          DoF + Bloom + tone map (this fn)
+
+Deviation from the reference, by design: tone mapping runs AFTER bloom on HDR
+radiance (the reference blooms after tone mapping in the LDR jittered chain,
+HnPostProcessTask.cpp:911-925) — bloom on HDR is strictly more correct and
+costs nothing here since the whole frame is one fused XLA program.
+
+The whole frame is one jit: `FrameState` carries all temporal history.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from diligentfx_tpu import math3d as m3
+from diligentfx_tpu.attribs import CameraAttribs
+from diligentfx_tpu.config import RasterizerConfig, ShadowMode, ToneMappingMode
+from diligentfx_tpu.pbr.deferred import GBufferData, render_gbuffer
+from diligentfx_tpu.pbr.renderer import PBRRenderer, RenderInfo, ScenePrimitives
+from diligentfx_tpu.postfx import bloom as fx_bloom
+from diligentfx_tpu.postfx import dof as fx_dof
+from diligentfx_tpu.postfx import ssao as fx_ssao
+from diligentfx_tpu.postfx import ssr as fx_ssr
+from diligentfx_tpu.postfx import taa as fx_taa
+from diligentfx_tpu.postfx.context import (apply_jitter_to_proj,
+                                           dilate_closest_motion,
+                                           jitter_to_ndc, taa_jitter_sequence)
+from diligentfx_tpu.postfx.tonemap import ToneMappingAttribs, tone_map
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class TaskManagerCreateInfo:
+    """Static pipeline configuration (the enable/disable task switches of
+    HnTaskManager + HnPostProcessTask params)."""
+    enable_shadows: bool = False
+    shadow_mode: ShadowMode = ShadowMode.PCF
+    num_cascades: int = 4
+    shadow_map_size: int = 1024
+    enable_ssao: bool = True
+    ssao_half_resolution: bool = True
+    enable_ssr: bool = True
+    ssr_half_resolution: bool = False
+    enable_taa: bool = True
+    enable_dof: bool = False
+    enable_bloom: bool = True
+    tone_mapping_mode: ToneMappingMode = ToneMappingMode.UNCHARTED2
+    convert_output_to_srgb: bool = True
+    ssr_scale: float = 1.0
+    ssao_scale: float = 1.0
+
+
+class FrameSettings(NamedTuple):
+    """Dynamic per-frame effect parameters."""
+    ssr: fx_ssr.SSRSettings = fx_ssr.SSRSettings()
+    ssao: fx_ssao.SSAOSettings = fx_ssao.SSAOSettings()
+    taa: fx_taa.TAASettings = fx_taa.TAASettings()
+    dof: fx_dof.DoFSettings = fx_dof.DoFSettings()
+    bloom: fx_bloom.BloomSettings = fx_bloom.BloomSettings()
+    tone_mapping: ToneMappingAttribs = ToneMappingAttribs()
+
+
+class FrameState(NamedTuple):
+    """Temporal history carried between frames (the history Bprims)."""
+    frame_index: Array
+    prev_view_proj: Array
+    taa: Optional[fx_taa.TAAState] = None
+    ssr: Optional[fx_ssr.SSRState] = None
+    ssao: Optional[fx_ssao.SSAOState] = None
+    dof: Optional[fx_dof.DoFState] = None
+
+
+class FrameOutput(NamedTuple):
+    color: Array          # (H, W, 3) final
+    gbuffer: GBufferData  # all AOVs (incl. mesh_id for picking)
+    state: FrameState
+
+
+class HnTaskManager:
+    """Owns the renderer + pipeline config; `execute` runs one frame
+    (the analogue of HdEngine::Execute over GetTasks())."""
+
+    def __init__(self, renderer: PBRRenderer,
+                 ci: TaskManagerCreateInfo = TaskManagerCreateInfo()):
+        self.renderer = renderer
+        self.ci = ci
+        self.jitter_seq = taa_jitter_sequence(16)
+
+    def initial_state(self, width: int, height: int) -> FrameState:
+        z2 = jnp.zeros((height, width, 2), jnp.float32)
+        z1 = jnp.zeros((height, width), jnp.float32)
+        z3 = jnp.zeros((height, width, 3), jnp.float32)
+        z4 = jnp.zeros((height, width, 4), jnp.float32)
+        return FrameState(
+            frame_index=jnp.int32(0),
+            prev_view_proj=jnp.eye(4, dtype=jnp.float32),
+            taa=fx_taa.TAAState(color=z3, sample_count=z1) if self.ci.enable_taa else None,
+            ssr=fx_ssr.SSRState(radiance=z4) if self.ci.enable_ssr else None,
+            ssao=fx_ssao.SSAOState(history=z1 + 1.0) if self.ci.enable_ssao else None,
+            dof=fx_dof.DoFState(coc_history=z1) if self.ci.enable_dof else None,
+        )
+
+    def execute(self, scene: ScenePrimitives, info: RenderInfo,
+                state: FrameState, *, width: int, height: int,
+                settings: FrameSettings = FrameSettings()) -> FrameOutput:
+        return _execute_frame(
+            scene, info, state, self.renderer.ibl_maps, self.renderer.env_oct,
+            self.jitter_seq, settings,
+            width=width, height=height, cfg=self.renderer.raster_cfg, ci=self.ci,
+            use_ibl=self.renderer.ci.enable_ibl,
+            pcf_kernel_size=self.renderer.ci.pcf_kernel_size)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "cfg", "ci", "use_ibl", "pcf_kernel_size"))
+def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
+                   env_oct, jitter_seq, settings: FrameSettings, *,
+                   width: int, height: int, cfg: RasterizerConfig,
+                   ci: TaskManagerCreateInfo, use_ibl: bool,
+                   pcf_kernel_size: int) -> FrameOutput:
+    # ---- BeginFrame: jitter the camera (TAA), frame constants ---------------
+    cam = info.camera
+    first_frame = state.frame_index == 0
+    if ci.enable_taa:
+        j_px = jitter_seq[jnp.mod(state.frame_index, jitter_seq.shape[0])]
+        j_ndc = jitter_to_ndc(j_px, width, height)
+        proj_j = apply_jitter_to_proj(cam.proj, j_ndc)
+        cam_j = CameraAttribs.create(
+            cam.view, proj_j, cam.position, cam.near_z, cam.far_z,
+            width, height, jitter=j_ndc)
+        info = info._replace(camera=cam_j)
+
+    prev_vp = jnp.where(first_frame, info.camera.view_proj, state.prev_view_proj)
+    info = info._replace(prev_view_proj=prev_vp)
+
+    # ---- RenderShadows -------------------------------------------------------
+    shadow_mode = None
+    if ci.enable_shadows and info.shadow_attribs is not None:
+        shadow_mode = ci.shadow_mode
+
+    # ---- Main pass: G-buffer -------------------------------------------------
+    gb = render_gbuffer(scene, info, ibl_maps, env_oct,
+                        width=width, height=height, cfg=cfg,
+                        use_ibl=use_ibl, use_lights=True,
+                        shadow_mode=shadow_mode,
+                        pcf_kernel_size=pcf_kernel_size)
+
+    # ---- PostFXContext -------------------------------------------------------
+    closest_motion = dilate_closest_motion(gb.depth, gb.motion)
+    from diligentfx_tpu.postfx.context import PostFXResources
+    resources = PostFXResources(
+        camera=info.camera, prev_camera=info.camera, depth=gb.depth,
+        prev_depth=gb.depth, motion=gb.motion, closest_motion=closest_motion,
+        frame_index=state.frame_index)
+
+    # ---- SSAO ----------------------------------------------------------------
+    ao = jnp.ones_like(gb.depth)
+    new_ssao = state.ssao
+    if ci.enable_ssao:
+        ao, new_ssao = fx_ssao.apply_ssao(
+            gb.depth, gb.normal_view, info.camera, state.frame_index,
+            settings.ssao, state=state.ssao, motion=gb.motion,
+            half_resolution=ci.ssao_half_resolution)
+        ao = 1.0 - (1.0 - ao) * ci.ssao_scale
+
+    # ---- SSR -----------------------------------------------------------------
+    ssr_rad = None
+    new_ssr = state.ssr
+    if ci.enable_ssr:
+        # reflect the currently-lit scene (direct + ambient + background)
+        refl_src = jnp.where(
+            gb.hit[..., None],
+            gb.direct + gb.ambient_diffuse + gb.ambient_specular,
+            gb.background)
+        ssr_rad, new_ssr = fx_ssr.compute_ssr(
+            refl_src, gb.depth, gb.normal_view,
+            gb.material_data[..., 1:2], info.camera, state.frame_index,
+            settings.ssr, state=state.ssr, motion=gb.motion,
+            half_resolution=ci.ssr_half_resolution)
+
+    # ---- Composite (HnPostProcess.psh analogue) -------------------------------
+    ao1 = ao[..., None]
+    spec = gb.ambient_specular
+    if ssr_rad is not None:
+        conf = jnp.clip(ssr_rad[..., 3:4] * ci.ssr_scale, 0.0, 1.0)
+        ssr_term = ssr_rad[..., :3] * gb.spec_env_factor
+        spec = spec + (ssr_term - spec) * conf
+    color = gb.direct + ao1 * gb.ambient_diffuse + ao1 * spec
+    color = jnp.where(gb.hit[..., None], color, gb.background)
+
+    # ---- TAA ------------------------------------------------------------------
+    new_taa = state.taa
+    if ci.enable_taa:
+        taa_state = jax.tree.map(
+            lambda h, c: jnp.where(first_frame, c, h),
+            state.taa, fx_taa.TAAState(color=color,
+                                       sample_count=jnp.ones_like(gb.depth)))
+        color, new_taa = fx_taa.taa_accumulate(color, taa_state, resources,
+                                               settings.taa)
+
+    # ---- DoF / Bloom -----------------------------------------------------------
+    new_dof = state.dof
+    if ci.enable_dof:
+        color, new_dof = fx_dof.apply_dof(color, gb.depth, info.camera,
+                                          settings.dof, state=state.dof,
+                                          motion=gb.motion, use_temporal=True)
+    if ci.enable_bloom:
+        color = fx_bloom.apply_bloom(color, settings.bloom)
+
+    # ---- Tone map + sRGB --------------------------------------------------------
+    if ci.tone_mapping_mode != ToneMappingMode.NONE:
+        color = tone_map(color, ci.tone_mapping_mode, settings.tone_mapping,
+                         ave_log_lum=info.renderer_params.average_log_lum)
+    if ci.convert_output_to_srgb:
+        color = m3.linear_to_srgb(color)
+
+    new_state = FrameState(
+        frame_index=state.frame_index + 1,
+        prev_view_proj=info.camera.view_proj,
+        taa=new_taa, ssr=new_ssr, ssao=new_ssao, dof=new_dof)
+    return FrameOutput(color=color, gbuffer=gb, state=new_state)

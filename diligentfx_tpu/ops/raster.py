@@ -39,9 +39,13 @@ from diligentfx_tpu.config import RasterizerConfig
 
 Array = jax.Array
 
-# Number of f32 setup slots per triangle:
-# a0,b0,c0,a1,b1,c1 (bary planes), az,bz,cz (depth plane)
-_SETUP_DIM = 9
+# f32 setup row per raster primitive (= near-clipped sub-triangle):
+#  0-5  a,b,c planes of the sub-triangle's own λ0, λ1 (coverage test)
+#  6-8  az,bz,cz depth plane
+#  9-14 a,b,c planes of the ORIGINAL triangle's λ0, λ1 (stored barycentrics —
+#       attribute interpolation always happens in the original triangle frame)
+#  15   original triangle id (exact in f32 below 2^24)
+_SETUP_DIM = 16
 
 
 class VisibilityBuffer(NamedTuple):
@@ -71,18 +75,90 @@ def clip_to_screen(clip: Array, width: int, height: int) -> Tuple[Array, Array, 
     return jnp.stack([sx, sy], axis=-1), ndc[..., 2], winv
 
 
+def _clip_near_plane(clip: Array, indices: Array, eps: float):
+    """Near-plane (w = eps) polygon clipping with a fixed 2x expansion.
+
+    Each input triangle yields up to two raster primitives (sub-triangles of
+    its visible region).  Every sub-triangle corner carries its barycentric
+    coordinates *in the original triangle*, so downstream attribute
+    interpolation is unaffected by clipping.
+
+    Returns (verts (2T, 3, 4) clip positions with w >= eps,
+             corner_bary (2T, 3, 3), alive (2T,), orig_id (2T,) int32).
+    """
+    t = indices.shape[0]
+    c = clip[indices]                                       # (T, 3, 4)
+    w = c[..., 3]
+    inside = w > eps                                        # (T, 3)
+    n_in = jnp.sum(inside.astype(jnp.int32), axis=-1)
+
+    # Rotate vertex order so the pattern is canonical:
+    #   n=3: any; n=2: the OUT vertex lands at position C;
+    #   n=1: the IN vertex lands at position A.
+    first_out = jnp.argmin(inside.astype(jnp.int32), axis=-1)
+    first_in = jnp.argmax(inside.astype(jnp.int32), axis=-1)
+    r = jnp.where(n_in == 3, 0,
+                  jnp.where(n_in == 2, (first_out + 1) % 3, first_in))
+    rot = jnp.stack([r, (r + 1) % 3, (r + 2) % 3], axis=-1)  # (T, 3)
+
+    cr = jnp.take_along_axis(c, rot[..., None], axis=1)      # (T, 3, 4) rotated
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    br = eye3[rot]                                           # (T, 3, 3) orig bary rows
+
+    a, b, cc = cr[:, 0], cr[:, 1], cr[:, 2]
+    ba, bb, bc = br[:, 0], br[:, 1], br[:, 2]
+
+    def isect(p, q, bp, bq):
+        tt = (eps - p[:, 3]) / jnp.where(
+            jnp.abs(q[:, 3] - p[:, 3]) < 1e-12, 1e-12, q[:, 3] - p[:, 3])
+        tt = jnp.clip(tt, 0.0, 1.0)[:, None]
+        return p + tt * (q - p), bp + tt * (bq - bp)
+
+    i_ac, b_ac = isect(a, cc, ba, bc)
+    i_bc, b_bc = isect(b, cc, bb, bc)
+    i_ab, b_ab = isect(a, b, ba, bb)
+
+    two = (n_in == 2)[:, None]
+    one = (n_in == 1)[:, None]
+
+    # slot 1: ALL → (A, B, C); TWO → (A, B, I_BC); ONE → (A, I_AB, I_AC)
+    s1_v1 = jnp.where(one, i_ab, b)
+    s1_b1 = jnp.where(one, b_ab, bb)
+    s1_v2 = jnp.where(two, i_bc, jnp.where(one, i_ac, cc))
+    s1_b2 = jnp.where(two, b_bc, jnp.where(one, b_ac, bc))
+    slot1_v = jnp.stack([a, s1_v1, s1_v2], axis=1)
+    slot1_b = jnp.stack([ba, s1_b1, s1_b2], axis=1)
+    slot1_alive = n_in > 0
+
+    # slot 2: TWO → (A, I_BC, I_AC)
+    slot2_v = jnp.stack([a, i_bc, i_ac], axis=1)
+    slot2_b = jnp.stack([ba, b_bc, b_ac], axis=1)
+    slot2_alive = n_in == 2
+
+    verts = jnp.concatenate([slot1_v, slot2_v], axis=0)      # (2T, 3, 4)
+    barys = jnp.concatenate([slot1_b, slot2_b], axis=0)
+    alive = jnp.concatenate([slot1_alive, slot2_alive], axis=0)
+    orig = jnp.tile(jnp.arange(t, dtype=jnp.int32), 2)
+    return verts, barys, alive, orig
+
+
 def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
                     double_sided, front_ccw: bool, near_eps: float):
-    """Returns (setup (T, 9), valid (T,), bbox (T, 4) [xmin,ymin,xmax,ymax])."""
-    screen, zndc, winv = clip_to_screen(clip, width, height)
-    i0, i1, i2 = indices[:, 0], indices[:, 1], indices[:, 2]
-    p0, p1, p2 = screen[i0], screen[i1], screen[i2]
-    z0, z1, z2 = zndc[i0], zndc[i1], zndc[i2]
-    w0, w1, w2 = clip[i0, 3], clip[i1, 3], clip[i2, 3]
+    """Near-clip + raster setup.
 
-    x0, y0 = p0[:, 0], p0[:, 1]
-    x1, y1 = p1[:, 0], p1[:, 1]
-    x2, y2 = p2[:, 0], p2[:, 1]
+    Returns (setup (2T, 16) — see _SETUP_DIM, valid (2T,),
+             bbox (2T, 4) [xmin,ymin,xmax,ymax], orig_id (2T,))."""
+    verts, barys, alive, orig = _clip_near_plane(clip, indices, near_eps)
+
+    w = verts[..., 3]
+    winv = 1.0 / jnp.maximum(w, near_eps * 0.5)
+    sx = (verts[..., 0] * winv * 0.5 + 0.5) * width
+    sy = (0.5 - verts[..., 1] * winv * 0.5) * height
+    sz = verts[..., 2] * winv
+
+    x0, y0 = sx[:, 0], sy[:, 0]
+    x1, y1 = sx[:, 1], sy[:, 1]
+    x2, y2 = sx[:, 2], sy[:, 2]
 
     # Signed "area" (cross z). In y-down screen coords a glTF CCW front face
     # (viewed in y-up NDC) has negative cross.
@@ -91,40 +167,62 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
     if double_sided is None:
         ds = jnp.zeros_like(front)
     else:
-        ds = jnp.broadcast_to(jnp.asarray(double_sided, bool), front.shape)
+        ds2 = jnp.broadcast_to(jnp.asarray(double_sided, bool), (orig.shape[0] // 2,))
+        ds = jnp.tile(ds2, 2)
 
-    in_front = (w0 > near_eps) & (w1 > near_eps) & (w2 > near_eps)
     nondegenerate = jnp.abs(d) > 1e-12
-    valid = nondegenerate & in_front & (front | ds)
+    valid = alive & nondegenerate & (front | ds)
 
     dinv = jnp.where(nondegenerate, 1.0 / d, 0.0)
-    # Barycentric planes: lambda_i(x, y) = a_i x + b_i y + c_i
+    # Sub-triangle's own barycentric planes: lambda_i(x, y) = a_i x + b_i y + c_i
     a0 = (y1 - y2) * dinv
     b0 = (x2 - x1) * dinv
     c0 = (x1 * y2 - x2 * y1) * dinv
     a1 = (y2 - y0) * dinv
     b1 = (x0 - x2) * dinv
     c1 = (x2 * y0 - x0 * y2) * dinv
-    # Depth plane: z(x, y) = az x + bz y + cz  (affine since z_ndc is
-    # screen-linear within a triangle).
     a2 = -(a0 + a1)
     b2 = -(b0 + b1)
     c2 = 1.0 - c0 - c1
+    # Depth plane (affine in screen space)
+    z0, z1, z2 = sz[:, 0], sz[:, 1], sz[:, 2]
     az = a0 * z0 + a1 * z1 + a2 * z2
     bz = b0 * z0 + b1 * z1 + b2 * z2
     cz = c0 * z0 + c1 * z1 + c2 * z2
 
-    setup = jnp.stack([a0, b0, c0, a1, b1, c1, az, bz, cz], axis=-1)
+    # Original-triangle barycentric planes.  The corner values of original
+    # λ in SCREEN space are the perspective-mapped barys:
+    #   λs_j(corner k) = bary[k, j] * w_orig_j / Σ_m bary[k, m] w_orig_m
+    # — but since bary[k] are clip-space (linear-in-clip) weights and the
+    # sub-corner's clip position is exactly Σ bary[k,m] * orig_vert_m, the
+    # perspective-correct screen bary at corner k is
+    #   λs_j = bary[k, j] * w_j / w_corner.
+    ow = jnp.tile(clip[indices][:, :, 3], (2, 1))            # (2T, 3) orig w
+    num = barys * ow[:, None, :]                             # (2T, 3corner, 3j)
+    lam_s = num / jnp.maximum(w[..., None], 1e-12)           # (2T, 3corner, 3j)
+
+    def plane_from_values(v0, v1, v2):
+        # affine plane through the 3 screen corners with given values
+        aa = a0 * v0 + a1 * v1 + a2 * v2
+        bb = b0 * v0 + b1 * v1 + b2 * v2
+        ccv = c0 * v0 + c1 * v1 + c2 * v2
+        return aa, bb, ccv
+
+    ao0, bo0, co0 = plane_from_values(lam_s[:, 0, 0], lam_s[:, 1, 0], lam_s[:, 2, 0])
+    ao1, bo1, co1 = plane_from_values(lam_s[:, 0, 1], lam_s[:, 1, 1], lam_s[:, 2, 1])
+
+    setup = jnp.stack([a0, b0, c0, a1, b1, c1, az, bz, cz,
+                       ao0, bo0, co0, ao1, bo1, co1,
+                       orig.astype(jnp.float32)], axis=-1)
 
     xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
     xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
     ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
     ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
-    # Cull fully off-screen bboxes.
     on_screen = (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
     valid = valid & on_screen
     bbox = jnp.stack([xmin, ymin, xmax, ymax], axis=-1)
-    return setup, valid, bbox
+    return setup, valid, bbox, orig
 
 
 def _bin_triangles(valid: Array, bbox: Array, width: int, height: int,
@@ -240,7 +338,7 @@ def _raster_tiles(setup: Array, candidates: Array, width: int, height: int,
         z_buf, id_buf, b0_buf, b1_buf = state
         ids = cand_k                                                  # (tiles, K)
         live = ids >= 0
-        s = setup[jnp.maximum(ids, 0)]                                # (tiles, K, 9)
+        s = setup[jnp.maximum(ids, 0)]                                # (tiles, K, 16)
 
         def plane(ai, bi, ci):
             return (s[..., ai, None, None] * px[:, None] +
@@ -257,13 +355,17 @@ def _raster_tiles(setup: Array, candidates: Array, width: int, height: int,
         best = jnp.min(zc, axis=1)
         take = best < sign * z_buf
 
+        lo0 = plane(9, 10, 11)
+        lo1 = plane(12, 13, 14)
+        orig_ids = s[..., 15].astype(jnp.int32)                       # (tiles, K)
+
         gk = best_k[:, None]
         z_new = jnp.where(take, sign * best, z_buf)
         id_new = jnp.where(take, jnp.take_along_axis(
-            jnp.broadcast_to(ids[..., None, None], l0.shape).astype(jnp.int32), gk, axis=1
+            jnp.broadcast_to(orig_ids[..., None, None], l0.shape), gk, axis=1
         )[:, 0], id_buf)
-        b0_new = jnp.where(take, jnp.take_along_axis(l0, gk, axis=1)[:, 0], b0_buf)
-        b1_new = jnp.where(take, jnp.take_along_axis(l1, gk, axis=1)[:, 0], b1_buf)
+        b0_new = jnp.where(take, jnp.take_along_axis(lo0, gk, axis=1)[:, 0], b0_buf)
+        b1_new = jnp.where(take, jnp.take_along_axis(lo1, gk, axis=1)[:, 0], b1_buf)
         return (z_new, id_new, b0_new, b1_new), None
 
     init = (
@@ -291,7 +393,7 @@ def rasterize(clip: Array, indices: Array, *, width: int, height: int,
               double_sided: Optional[Array] = None,
               front_ccw: bool = True,
               depth_less: bool = True,
-              near_eps: float = 1e-6,
+              near_eps: float = 1e-3,
               backend: str = "auto") -> Tuple[VisibilityBuffer, RasterStats]:
     """Rasterize triangles to a visibility buffer.
 
@@ -310,7 +412,7 @@ def rasterize(clip: Array, indices: Array, *, width: int, height: int,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     depth_clear = jnp.inf if depth_less else -jnp.inf
-    setup, valid, bbox = _triangle_setup(
+    setup, valid, bbox, _orig = _triangle_setup(
         clip, indices, width, height, double_sided, front_ccw, near_eps)
     candidates, compact, counts, max_count, overflow, big_overflow = _bin_triangles(
         valid, bbox, width, height, cfg)

@@ -35,7 +35,6 @@ SETUP_ROWS = 16  # 9 plane coefficients + pad to an aligned row
 def _raster_tile_kernel(counts_ref,            # scalar prefetch: (num_tiles,)
                         tiles_x_ref,           # scalar prefetch: (1,)
                         setup_ref,             # (1, cap, 16) VMEM gathered coeffs
-                        cand_ref,              # (1, cap, 1) VMEM candidate ids
                         z_ref, id_ref, b0_ref, b1_ref,  # (1, th, tw) VMEM out
                         *, th: int, tw: int, cap: int, chunk: int,
                         depth_sign: float, depth_clear: float):
@@ -65,16 +64,19 @@ def _raster_tile_kernel(counts_ref,            # scalar prefetch: (num_tiles,)
         l2 = 1.0 - l0 - l1
         z = coef(6) * px[None] + coef(7) * py[None] + coef(8)
         cover = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)      # (chunk, th, tw)
+        # stored barycentrics: the ORIGINAL triangle's planes (cols 9-14)
+        lo0 = coef(9) * px[None] + coef(10) * py[None] + coef(11)
+        lo1 = coef(12) * px[None] + coef(13) * py[None] + coef(14)
 
         for k in range(chunk):
             idx = base + k
             zb = z_ref[0]
             take = cover[k] & (depth_sign * z[k] < depth_sign * zb) & (idx < count)
-            tri = cand_ref[0, idx, 0]
+            tri = s[k, 15].astype(jnp.int32)                 # original tri id
             z_ref[0] = jnp.where(take, z[k], zb)
             id_ref[0] = jnp.where(take, tri, id_ref[0])
-            b0_ref[0] = jnp.where(take, l0[k], b0_ref[0])
-            b1_ref[0] = jnp.where(take, l1[k], b1_ref[0])
+            b0_ref[0] = jnp.where(take, lo0[k], b0_ref[0])
+            b1_ref[0] = jnp.where(take, lo1[k], b1_ref[0])
         return 0
 
     n_chunks = pl.cdiv(count, chunk)
@@ -97,9 +99,11 @@ def raster_tiles_pallas(setup: Array, candidates: Array, counts: Array,
     Returns (z, id, b0, b1) each (num_tiles, th, tw).
     """
     num_tiles, cap = candidates.shape
-    setup16 = jnp.pad(setup, ((0, 0), (0, SETUP_ROWS - setup.shape[1])))
-    gathered = setup16[jnp.maximum(candidates, 0)]           # (tiles, cap, 16)
-    cand_3d = candidates[..., None]                          # (tiles, cap, 1)
+    if setup.shape[1] < SETUP_ROWS:
+        setup = jnp.pad(setup, ((0, 0), (0, SETUP_ROWS - setup.shape[1])))
+    # Invalid (-1) slots gather row 0 but are never reached: the per-tile trip
+    # count stops at `counts`, and compact candidate lists have no gaps.
+    gathered = setup[jnp.maximum(candidates, 0)]             # (tiles, cap, 16)
 
     depth_clear = jnp.inf if depth_less else -jnp.inf
     kernel = functools.partial(
@@ -112,8 +116,6 @@ def raster_tiles_pallas(setup: Array, candidates: Array, counts: Array,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((1, cap, SETUP_ROWS), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cap, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -131,5 +133,5 @@ def raster_tiles_pallas(setup: Array, candidates: Array, counts: Array,
             jax.ShapeDtypeStruct((num_tiles, th, tw), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, th, tw), jnp.float32),
         ],
-    )(counts, jnp.array([tiles_x], jnp.int32), gathered, cand_3d)
+    )(counts, jnp.array([tiles_x], jnp.int32), gathered)
     return z, tid, b0, b1

@@ -1,0 +1,171 @@
+"""Deferred G-buffer rendering — the analogue of USD_Renderer's MRT outputs
+(PBR/interface/USD_Renderer.hpp:55-84: color, mesh id, motion vectors, normal,
+base color, material data, IBL) and Hydrogent's HnFrameRenderTargets
+(interface/HnFrameRenderTargets.hpp:42-52).
+
+The frame is produced in two phases:
+  1. visibility: rasterize → interpolate → material gather (ops/raster.py),
+  2. shading split into layers the post chain needs to composite:
+     direct (punctual + emissive), ambient diffuse, ambient specular, and the
+     split-sum environment factor so SSR can *replace* the specular IBL term
+     per pixel (the role of the reference's separate IBL render target).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from diligentfx_tpu import math3d as m3
+from diligentfx_tpu.config import RasterizerConfig
+from diligentfx_tpu.ops import raster as rz
+from diligentfx_tpu.ops.sampling import bilinear_sample, sample_env_oct
+from diligentfx_tpu.pbr import brdf, shading as sh
+from diligentfx_tpu.pbr.renderer import (RenderInfo, ScenePrimitives,
+                                         _camera_rays, transform_vertices)
+
+Array = jax.Array
+
+
+class GBufferData(NamedTuple):
+    """HnFrameRenderTargets analogue: every AOV the tasks consume."""
+    depth: Array             # (H, W) NDC depth (background = 1)
+    mesh_id: Array           # (H, W) int32 material/prim id, -1 background
+    normal_world: Array      # (H, W, 3)
+    normal_view: Array       # (H, W, 3)
+    base_color: Array        # (H, W, 3)
+    material_data: Array     # (H, W, 3) = metallic, roughness, occlusion
+    motion: Array            # (H, W, 2) uv motion (camera + object)
+    world_pos: Array         # (H, W, 3)
+    direct: Array            # (H, W, 3) punctual + emissive (shadowed)
+    ambient_diffuse: Array   # (H, W, 3) diffuse IBL * scale
+    ambient_specular: Array  # (H, W, 3) specular IBL * scale
+    spec_env_factor: Array   # (H, W, 3) k_s * A + B (for SSR substitution)
+    background: Array        # (H, W, 3) env radiance where no geometry
+    hit: Array               # (H, W) bool
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "cfg", "use_ibl", "use_lights", "shadow_mode",
+    "pcf_kernel_size"))
+def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
+                   *, width: int, height: int, cfg: RasterizerConfig,
+                   use_ibl: bool = True, use_lights: bool = True,
+                   shadow_mode=None, pcf_kernel_size: int = 3) -> GBufferData:
+    pad_w, pad_h = rz.pad_viewport(width, height, cfg)
+
+    world_pos, world_nrm, _ = transform_vertices(scene, info.model_transform)
+    clip = m3.transform_points(world_pos, info.camera.view_proj)
+    vb, _stats = rz.rasterize(clip, scene.indices, width=pad_w, height=pad_h,
+                              cfg=cfg, double_sided=scene.tri_double_sided)
+
+    winv = jnp.where(jnp.abs(clip[:, 3]) > 1e-12, 1.0 / clip[:, 3], 0.0)
+    # previous-frame clip position for motion vectors (object + camera)
+    prev_scene = scene._replace(node_matrices=scene.prev_node_matrices)
+    prev_world, _, _ = transform_vertices(prev_scene, info.model_transform)
+    prev_vp = (info.prev_view_proj if info.prev_view_proj is not None
+               else info.camera.view_proj)
+    prev_clip = m3.transform_points(prev_world, prev_vp)
+    prev_w = jnp.where(jnp.abs(prev_clip[:, 3]) > 1e-9, prev_clip[:, 3], 1e-9)
+    prev_ndc = prev_clip[:, :2] / prev_w[:, None]
+    prev_uv_v = jnp.stack([prev_ndc[:, 0] * 0.5 + 0.5,
+                           0.5 - prev_ndc[:, 1] * 0.5], axis=-1)
+
+    packed = jnp.concatenate([world_pos, world_nrm, prev_uv_v], axis=-1)
+    interp = rz.interpolate_all(vb, scene.indices, packed, winv)
+    pos_px = interp[..., 0:3]
+    nrm_px = m3.normalize(interp[..., 3:6])
+    prev_uv_px = interp[..., 6:8]
+
+    hit = vb.tri_id >= 0
+    xg = (jax.lax.broadcasted_iota(jnp.float32, (pad_h, pad_w), 1) + 0.5) / pad_w
+    yg = (jax.lax.broadcasted_iota(jnp.float32, (pad_h, pad_w), 0) + 0.5) / pad_h
+    cur_uv = jnp.stack([xg, yg], axis=-1)
+    motion = jnp.where(hit[..., None], cur_uv - prev_uv_px, 0.0)
+
+    tid = jnp.maximum(vb.tri_id, 0)
+    mat_id = scene.tri_material[tid]
+    mats = scene.materials
+    base_color = mats.base_color_factor[mat_id][..., :3]
+    metallic = mats.metallic_factor[mat_id][..., None]
+    roughness = mats.roughness_factor[mat_id][..., None]
+    emissive = mats.emissive_factor[mat_id]
+    occlusion = jnp.ones_like(metallic)
+
+    view = m3.normalize(info.camera.position - pos_px)
+    srf = sh.get_surface_reflectance_mr(base_color, metallic, roughness)
+    ndotv = jnp.clip(m3.dot(nrm_px, view), 0.0, 1.0)
+    shading = sh.SurfaceShadingInfo(
+        pos=pos_px, view=view, occlusion=occlusion,
+        emissive=emissive * info.renderer_params.emission_scale,
+        base=sh.BaseLayerShadingInfo(srf=srf, metallic=metallic,
+                                     normal=nrm_px, ndotv=ndotv),
+        ibl_scale=info.renderer_params.ibl_scale[:3])
+
+    lighting = sh.default_lighting(pos_px)
+    if use_lights:
+        shadow_factors = None
+        if shadow_mode is not None:
+            from diligentfx_tpu.components.shadow_map_manager import (
+                sample_cascaded_shadows)
+            cam_view_z = -m3.transform_points(pos_px, info.camera.view)[..., 2]
+            factor = sample_cascaded_shadows(
+                pos_px, cam_view_z, info.shadow_attribs, info.shadow_maps,
+                mode=shadow_mode, pcf_kernel_size=pcf_kernel_size,
+                moments=info.shadow_moments)
+            ones = jnp.ones_like(factor)
+            shadow_factors = jnp.stack(
+                [jnp.where(info.lights.shadow_map_index[i] >= 0, factor, ones)
+                 for i in range(info.lights.count)], axis=0)
+        lighting = sh.apply_punctual_lights(shading, info.lights, lighting,
+                                            shadow_factors=shadow_factors)
+
+    scale = info.renderer_params.ibl_scale[:3]
+    if use_ibl and ibl_maps is not None:
+        lighting = sh.apply_ibl(shading, ibl_maps, lighting)
+        amb_d = lighting.base.diffuse_ibl * scale
+        amb_s = lighting.base.specular_ibl * scale
+        # split-sum env factor for SSR substitution
+        lut_uv = jnp.concatenate([ndotv, srf.perceptual_roughness], axis=-1)
+        pre_int = bilinear_sample(ibl_maps.preintegrated_ggx, lut_uv)
+        one_minus_r = 1.0 - srf.perceptual_roughness
+        refl90 = jnp.maximum(jnp.broadcast_to(one_minus_r, srf.reflectance0.shape),
+                             srf.reflectance0)
+        k_s = brdf.schlick_reflection(ndotv, srf.reflectance0, refl90)
+        spec_factor = k_s * pre_int[..., 0:1] + pre_int[..., 1:2]
+    else:
+        amb_d = jnp.zeros_like(base_color)
+        amb_s = jnp.zeros_like(base_color)
+        spec_factor = jnp.zeros_like(base_color)
+
+    direct = lighting.base.punctual + shading.emissive
+
+    ray = _camera_rays(info.camera, pad_w, pad_h)
+    bg = sample_env_oct([env_oct], ray, jnp.zeros(ray.shape[:-1]))
+
+    nrm_view = m3.transform_directions(nrm_px, info.camera.view)
+
+    def crop(x):
+        return x[:height, :width]
+
+    depth = jnp.where(hit, vb.depth, 1.0)
+    return GBufferData(
+        depth=crop(depth),
+        mesh_id=crop(jnp.where(hit, mat_id, -1)),
+        normal_world=crop(jnp.where(hit[..., None], nrm_px, 0.0)),
+        normal_view=crop(jnp.where(hit[..., None], nrm_view, 0.0)),
+        base_color=crop(jnp.where(hit[..., None], base_color, 0.0)),
+        material_data=crop(jnp.where(
+            hit[..., None],
+            jnp.concatenate([metallic, roughness, occlusion], axis=-1), 0.0)),
+        motion=crop(motion),
+        world_pos=crop(pos_px),
+        direct=crop(jnp.where(hit[..., None], direct, 0.0)),
+        ambient_diffuse=crop(jnp.where(hit[..., None], amb_d, 0.0)),
+        ambient_specular=crop(jnp.where(hit[..., None], amb_s, 0.0)),
+        spec_env_factor=crop(jnp.where(hit[..., None], spec_factor, 0.0)),
+        background=crop(bg),
+        hit=crop(hit),
+    )

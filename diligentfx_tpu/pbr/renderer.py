@@ -119,6 +119,8 @@ class RenderInfo(NamedTuple):
     shadow_attribs: object = None       # components.shadow_map_manager.ShadowMapAttribs
     shadow_maps: Array = None           # (C, S, S) depth
     shadow_moments: Array = None        # (C, S, S, M) for VSM/EVSM modes
+    # Previous frame's (unjittered) view-proj for motion vectors.
+    prev_view_proj: Array = None
 
 
 def transform_vertices(scene: ScenePrimitives, model: Optional[Array] = None):

@@ -29,7 +29,6 @@ class DoFSettings(NamedTuple):
     focal_length: Array = jnp.float32(0.05)      # meters (50mm)
     max_coc_px: Array = jnp.float32(12.0)        # max bokeh radius in pixels
     temporal_stability_factor: Array = jnp.float32(0.9)
-    bokeh_kernel_size: int = 24                  # static tap count
 
 
 def circle_of_confusion(depth: Array, camera: CameraAttribs,
@@ -71,11 +70,12 @@ def _disk_kernel(n: int):
     return jnp.asarray(pts, jnp.float32)
 
 
-def bokeh_blur(color: Array, coc: Array, near_coc: Array, s: DoFSettings) -> Array:
+def bokeh_blur(color: Array, coc: Array, near_coc: Array, s: DoFSettings,
+               kernel_size: int = 24) -> Array:
     """Disk-gather bokeh (the two bokeh passes): each tap weighted by whether
-    the sample's CoC reaches the center pixel."""
+    the sample's CoC reaches the center pixel.  kernel_size is static."""
     h, w = color.shape[:2]
-    taps = _disk_kernel(s.bokeh_kernel_size)
+    taps = _disk_kernel(kernel_size)
     xg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5)
     yg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5)
     radius_px = jnp.maximum(jnp.abs(coc), near_coc) * s.max_coc_px
@@ -114,7 +114,8 @@ def apply_dof(color: Array, depth: Array, camera: CameraAttribs,
               settings: DoFSettings = DoFSettings(),
               state: Optional[DoFState] = None,
               motion: Optional[Array] = None,
-              use_temporal: bool = False) -> Tuple[Array, DoFState]:
+              use_temporal: bool = False,
+              bokeh_kernel_size: int = 24) -> Tuple[Array, DoFState]:
     """Full DoF chain (DepthOfField::Execute)."""
     h, w = depth.shape
     coc = circle_of_confusion(depth, camera, settings)
@@ -131,7 +132,7 @@ def apply_dof(color: Array, depth: Array, camera: CameraAttribs,
                  + color[0::2, 1::2] + color[1::2, 1::2])
     coc2 = coc[0::2, 0::2]
     near2 = dilate_near_coc(coc2, radius=3)
-    blurred = bokeh_blur(c2, coc2, near2, settings)
+    blurred = bokeh_blur(c2, coc2, near2, settings, bokeh_kernel_size)
     blurred = tent_3x3(blurred)
     blurred_full = jax.image.resize(blurred, (h, w, 3), method="bilinear")
     near_full = jax.image.resize(near2, (h, w), method="bilinear")

@@ -158,8 +158,9 @@ def bilateral_blur(ao: Array, depth: Array, camera: CameraAttribs,
         for d in range(-radius, radius + 1):
             a = jnp.roll(out, -d, axis=axis)
             zz = jnp.roll(z, -d, axis=axis)
+            import math
             wz = jnp.exp(-jnp.abs(zz - z) / (depth_sigma * jnp.maximum(z, 1e-3)))
-            wg = float(jnp.exp(-0.5 * (d / max(radius * 0.6, 1e-3)) ** 2))
+            wg = math.exp(-0.5 * (d / max(radius * 0.6, 1e-3)) ** 2)
             acc = acc + a * wz * wg
             wacc = wacc + wz * wg
         out = acc / jnp.maximum(wacc, 1e-6)

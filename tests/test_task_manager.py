@@ -1,0 +1,113 @@
+"""Full frame-graph pipeline tests (HnTaskManager analogue)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diligentfx_tpu import math3d as m3
+from diligentfx_tpu.attribs import (CameraAttribs, PBRLightAttribs,
+                                    PBRMaterialBasicAttribs,
+                                    PBRRendererShaderParameters)
+from diligentfx_tpu.config import (PBRRendererCreateInfo, RasterizerConfig,
+                                   ToneMappingMode)
+from diligentfx_tpu.gltf.primitives import plane, uv_sphere
+from diligentfx_tpu.hydrogent.task_manager import (FrameState, HnTaskManager,
+                                                   TaskManagerCreateInfo)
+from diligentfx_tpu.pbr.renderer import PBRRenderer, RenderInfo, build_scene
+
+W, H = 128, 128
+CFG = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=1024,
+                       max_tiles_per_tri=16, big_tri_capacity=32, chunk=8)
+CI = PBRRendererCreateInfo(brdf_lut_dim=16, num_brdf_samples=8,
+                           irradiance_cube_dim=16, prefiltered_env_map_dim=16,
+                           num_specular_env_samples=8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    renderer = PBRRenderer(CI, raster_cfg=CFG)
+    sphere = uv_sphere(0.8, stacks=10, slices=14)
+    ground = plane(20.0)
+    lift = np.eye(4, dtype=np.float32)
+    lift[3, 1] = 1.0
+    gnode = np.eye(4, dtype=np.float32)
+    gnode[3, 1] = -0.5
+    scene = build_scene([
+        (sphere, lift, PBRMaterialBasicAttribs.create(
+            base_color_factor=(0.8, 0.2, 0.2, 1.0), metallic_factor=0.9,
+            roughness_factor=0.2)),
+        (ground, gnode, PBRMaterialBasicAttribs.create(
+            base_color_factor=(0.5, 0.5, 0.55, 1.0), metallic_factor=0.0,
+            roughness_factor=0.15)),
+    ])
+    eye = [0.0, 2.0, 6.0]
+    view = m3.look_at(eye, [0.0, 0.5, 0.0])
+    proj = m3.perspective(0.8, W / H, 0.1, 50.0)
+    cam = CameraAttribs.create(view, proj, eye, 0.1, 50.0, W, H)
+    lights = PBRLightAttribs.directional([-0.3, -1.0, -0.2], [4.0, 4.0, 4.0])
+    info = RenderInfo(camera=cam, lights=lights,
+                      renderer_params=PBRRendererShaderParameters.create())
+    return renderer, scene, info
+
+
+def test_full_pipeline_three_frames(setup):
+    renderer, scene, info = setup
+    tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=True, enable_ssr=True, enable_taa=True, enable_bloom=True,
+        enable_dof=False))
+    state = tm.initial_state(W, H)
+    for f in range(3):
+        out = tm.execute(scene, info, state, width=W, height=H)
+        state = out.state
+        a = np.asarray(out.color)
+        assert np.isfinite(a).all(), f
+        assert a.shape == (H, W, 3)
+        assert 0.0 <= a.min() and a.max() <= 1.0
+    assert int(state.frame_index) == 3
+    # TAA accumulated
+    assert float(state.taa.sample_count.max()) >= 2
+    # G-buffer AOVs sane
+    gb = out.gbuffer
+    assert gb.mesh_id.shape == (H, W)
+    assert int(gb.mesh_id.max()) == 1          # two prims
+    assert bool(gb.hit.any())
+    assert float(gb.depth.min()) > 0.0
+
+
+def test_pipeline_minimal_config(setup):
+    renderer, scene, info = setup
+    tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=False, enable_ssr=False, enable_taa=False,
+        enable_bloom=False, enable_dof=False,
+        tone_mapping_mode=ToneMappingMode.AGX))
+    state = tm.initial_state(W, H)
+    out = tm.execute(scene, info, state, width=W, height=H)
+    assert np.isfinite(np.asarray(out.color)).all()
+
+
+def test_pipeline_with_dof(setup):
+    renderer, scene, info = setup
+    tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=False, enable_ssr=False, enable_taa=True,
+        enable_bloom=False, enable_dof=True))
+    state = tm.initial_state(W, H)
+    out = tm.execute(scene, info, state, width=W, height=H)
+    assert np.isfinite(np.asarray(out.color)).all()
+
+
+def test_motion_vectors_on_camera_move(setup):
+    renderer, scene, info = setup
+    tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=False, enable_ssr=False, enable_taa=False,
+        enable_bloom=False))
+    state = tm.initial_state(W, H)
+    out1 = tm.execute(scene, info, state, width=W, height=H)
+    # move the camera; prev_view_proj in state reflects frame 1
+    eye2 = [0.5, 2.0, 6.0]
+    view2 = m3.look_at(eye2, [0.0, 0.5, 0.0])
+    cam2 = CameraAttribs.create(view2, info.camera.proj, eye2, 0.1, 50.0, W, H)
+    out2 = tm.execute(scene, info._replace(camera=cam2), out1.state,
+                      width=W, height=H)
+    hit = np.asarray(out2.gbuffer.hit)
+    mv = np.asarray(out2.gbuffer.motion)
+    assert np.abs(mv[hit]).max() > 1e-3
