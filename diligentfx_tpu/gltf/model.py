@@ -1,0 +1,191 @@
+"""glTF model → render-ready scene bundle.
+
+The analogue of GLTF_PBR_Renderer's model consumption (building vertex pools,
+per-material SRBs and attribs from GLTF::Model, GLTF_PBR_Renderer.cpp:373-786)
+and Radient's GLTF converter (RadientGLTFConverter).
+
+Known round-1 limitations, handled honestly:
+  * ALPHA_MODE_MASK renders as opaque (alpha test needs raster-time texture
+    fetch; the visibility buffer defers material evaluation).  BLEND renders
+    through OIT (see pbr/oit.py) when enabled, else opaque.
+  * JPEG images decode to a neutral 50% gray (no external codecs available).
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from diligentfx_tpu.attribs import PBRLightAttribs, PBRMaterialBasicAttribs, stack_materials
+from diligentfx_tpu.gltf.loader import GLTFModel, GLTFTextureRef
+from diligentfx_tpu.gltf.primitives import compute_tangents
+from diligentfx_tpu.ops.texture import AtlasBuilder, TextureAtlas
+
+# texture slot order in ScenePrimitives.tex_ids
+SLOT_BASE_COLOR = 0
+SLOT_NORMAL = 1
+SLOT_PHYS_DESC = 2
+SLOT_EMISSIVE = 3
+SLOT_OCCLUSION = 4
+NUM_SLOTS = 5
+
+
+class RenderScene(NamedTuple):
+    scene: object               # pbr.renderer.ScenePrimitives
+    atlas: TextureAtlas
+    lights: Optional[PBRLightAttribs]
+
+
+def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
+                       extra_lights: Optional[PBRLightAttribs] = None) -> RenderScene:
+    """Flatten the default scene's node hierarchy into one ScenePrimitives +
+    a packed texture atlas."""
+    import jax.numpy as jnp
+    from diligentfx_tpu.pbr.renderer import ScenePrimitives
+
+    builder = AtlasBuilder(size=atlas_size)
+    image_to_tex = {}
+
+    def atlas_id(ref: Optional[GLTFTextureRef], srgb: bool) -> int:
+        if ref is None or ref.image < 0:
+            return -1
+        key = ref.image
+        if key not in image_to_tex:
+            img = model.images[ref.image]
+            if img is None:
+                img = np.full((4, 4, 4), 0.5, np.float32)  # JPEG stub
+            image_to_tex[key] = builder.add(img)
+        return image_to_tex[key]
+
+    # materials (default material when none)
+    mats = model.materials or []
+    basic = []
+    tex_ids = np.full((max(len(mats), 1), NUM_SLOTS), -1, np.int32)
+    tex_xform = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32),
+                        (max(len(mats), 1), NUM_SLOTS, 1))
+    tex_wraps = np.zeros((max(len(mats), 1), NUM_SLOTS, 2), np.int32)
+    alpha_map = {"OPAQUE": 0, "MASK": 1, "BLEND": 2}
+    for mi, m in enumerate(mats):
+        basic.append(PBRMaterialBasicAttribs.create(
+            base_color_factor=m.base_color_factor,
+            emissive_factor=tuple(np.asarray(m.emissive_factor)
+                                  * m.emissive_strength),
+            normal_scale=m.normal_scale,
+            workflow=2 if m.unlit else 0,
+            alpha_mode=alpha_map.get(m.alpha_mode, 0),
+            alpha_mask_cutoff=m.alpha_cutoff,
+            metallic_factor=m.metallic_factor,
+            roughness_factor=m.roughness_factor,
+            occlusion_factor=m.occlusion_strength,
+            clearcoat_factor=m.clearcoat_factor,
+            clearcoat_roughness_factor=m.clearcoat_roughness,
+        ))
+        for slot, (ref, srgb) in enumerate([
+                (m.base_color_texture, True),
+                (m.normal_texture, False),
+                (m.metallic_roughness_texture, False),
+                (m.emissive_texture, True),
+                (m.occlusion_texture, False)]):
+            tid = atlas_id(ref, srgb)
+            tex_ids[mi, slot] = tid
+            if ref is not None:
+                tex_xform[mi, slot, :4] = ref.uv_scale_rotation
+                tex_xform[mi, slot, 4:] = ref.uv_offset
+                if 0 <= ref.sampler < len(model.sampler_wraps):
+                    tex_wraps[mi, slot] = model.sampler_wraps[ref.sampler]
+    if not basic:
+        basic.append(PBRMaterialBasicAttribs.create())
+
+    atlas = builder.build() if builder.images else None
+    if atlas is None:
+        from diligentfx_tpu.ops.texture import white_atlas
+        atlas = white_atlas()
+
+    # flatten scene nodes with meshes
+    pos, nrm, uv, tan = [], [], [], []
+    idx, vnode, tmat, tds = [], [], [], []
+    node_mats = []
+    v_off = 0
+    node_slot = 0
+    for ni in model.default_scene_nodes:
+        node = model.nodes[ni]
+        if node.mesh < 0:
+            continue
+        for prim in model.meshes[node.mesh]:
+            v = prim.positions.shape[0]
+            p = prim.positions
+            n = prim.normals
+            if n is None:
+                # flat-ish fallback: area-weighted vertex normals
+                n = np.zeros_like(p)
+                t0, t1, t2 = (prim.indices[:, k] for k in range(3))
+                fn = np.cross(p[t1] - p[t0], p[t2] - p[t0])
+                for k in (t0, t1, t2):
+                    np.add.at(n, k, fn)
+                ln = np.linalg.norm(n, axis=-1, keepdims=True)
+                n = n / np.maximum(ln, 1e-12)
+            u = prim.uv0 if prim.uv0 is not None else np.zeros((v, 2), np.float32)
+            t = prim.tangents
+            if t is None:
+                t = compute_tangents(p, n, u, prim.indices)
+            pos.append(p)
+            nrm.append(n.astype(np.float32))
+            uv.append(u.astype(np.float32))
+            tan.append(t.astype(np.float32))
+            idx.append(prim.indices + v_off)
+            vnode.append(np.full(v, node_slot, np.int32))
+            mat_i = prim.material if prim.material >= 0 else 0
+            nt = prim.indices.shape[0]
+            tmat.append(np.full(nt, mat_i, np.int32))
+            ds = mats[mat_i].double_sided if mat_i < len(mats) else False
+            tds.append(np.full(nt, ds, bool))
+            v_off += v
+        node_mats.append(node.world.astype(np.float32))
+        node_slot += 1
+
+    if not pos:
+        raise ValueError("glTF scene contains no triangle geometry")
+
+    node_m = jnp.asarray(np.stack(node_mats))
+    scene = ScenePrimitives(
+        positions=jnp.asarray(np.concatenate(pos)),
+        normals=jnp.asarray(np.concatenate(nrm)),
+        uvs=jnp.asarray(np.concatenate(uv)),
+        tangents=jnp.asarray(np.concatenate(tan)),
+        indices=jnp.asarray(np.concatenate(idx)),
+        vertex_node=jnp.asarray(np.concatenate(vnode)),
+        tri_material=jnp.asarray(np.concatenate(tmat)),
+        tri_double_sided=jnp.asarray(np.concatenate(tds)),
+        node_matrices=node_m,
+        prev_node_matrices=node_m,
+        materials=stack_materials(basic),
+        tex_ids=jnp.asarray(tex_ids),
+        tex_uv_transform=jnp.asarray(tex_xform),
+        tex_wraps=jnp.asarray(tex_wraps),
+    )
+
+    # lights from node hierarchy
+    lights = []
+    for ni in model.default_scene_nodes:
+        node = model.nodes[ni]
+        if node.light < 0 or node.light >= len(model.lights):
+            continue
+        l = model.lights[node.light]
+        w = node.world
+        lpos = w[3, :3]
+        ldir = -w[2, :3]  # glTF lights point down local -Z
+        ldir = ldir / max(np.linalg.norm(ldir), 1e-9)
+        intensity = tuple(np.asarray(l.color) * l.intensity)
+        rng = l.range if l.range > 0 else 100.0
+        if l.type == "directional":
+            lights.append(PBRLightAttribs.directional(ldir, intensity))
+        elif l.type == "point":
+            lights.append(PBRLightAttribs.point(lpos, intensity, range=rng))
+        else:
+            lights.append(PBRLightAttribs.spot(
+                lpos, ldir, intensity, l.inner_cone_angle,
+                l.outer_cone_angle, range=rng))
+    if extra_lights is not None:
+        lights.append(extra_lights)
+    all_lights = PBRLightAttribs.concat(lights) if lights else None
+    return RenderScene(scene=scene, atlas=atlas, lights=all_lights)

@@ -102,9 +102,11 @@ class HnTaskManager:
     (the analogue of HdEngine::Execute over GetTasks())."""
 
     def __init__(self, renderer: PBRRenderer,
-                 ci: TaskManagerCreateInfo = TaskManagerCreateInfo()):
+                 ci: TaskManagerCreateInfo = TaskManagerCreateInfo(),
+                 atlas=None):
         self.renderer = renderer
         self.ci = ci
+        self.atlas = atlas
         self.jitter_seq = taa_jitter_sequence(16)
 
     def initial_state(self, width: int, height: int) -> FrameState:
@@ -126,19 +128,21 @@ class HnTaskManager:
                 settings: FrameSettings = FrameSettings()) -> FrameOutput:
         return _execute_frame(
             scene, info, state, self.renderer.ibl_maps, self.renderer.env_oct,
-            self.jitter_seq, settings,
+            self.jitter_seq, settings, self.atlas,
             width=width, height=height, cfg=self.renderer.raster_cfg, ci=self.ci,
             use_ibl=self.renderer.ci.enable_ibl,
+            use_textures=self.atlas is not None,
             pcf_kernel_size=self.renderer.ci.pcf_kernel_size)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "width", "height", "cfg", "ci", "use_ibl", "pcf_kernel_size"))
+    "width", "height", "cfg", "ci", "use_ibl", "use_textures",
+    "pcf_kernel_size"))
 def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
-                   env_oct, jitter_seq, settings: FrameSettings, *,
+                   env_oct, jitter_seq, settings: FrameSettings, atlas, *,
                    width: int, height: int, cfg: RasterizerConfig,
                    ci: TaskManagerCreateInfo, use_ibl: bool,
-                   pcf_kernel_size: int) -> FrameOutput:
+                   use_textures: bool, pcf_kernel_size: int) -> FrameOutput:
     # ---- BeginFrame: jitter the camera (TAA), frame constants ---------------
     cam = info.camera
     first_frame = state.frame_index == 0
@@ -164,7 +168,8 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
                         width=width, height=height, cfg=cfg,
                         use_ibl=use_ibl, use_lights=True,
                         shadow_mode=shadow_mode,
-                        pcf_kernel_size=pcf_kernel_size)
+                        pcf_kernel_size=pcf_kernel_size,
+                        atlas=atlas, use_textures=use_textures)
 
     # ---- PostFXContext -------------------------------------------------------
     closest_motion = dilate_closest_motion(gb.depth, gb.motion)

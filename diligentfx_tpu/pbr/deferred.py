@@ -49,11 +49,12 @@ class GBufferData(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "cfg", "use_ibl", "use_lights", "shadow_mode",
-    "pcf_kernel_size"))
+    "pcf_kernel_size", "use_textures"))
 def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                    *, width: int, height: int, cfg: RasterizerConfig,
                    use_ibl: bool = True, use_lights: bool = True,
-                   shadow_mode=None, pcf_kernel_size: int = 3) -> GBufferData:
+                   shadow_mode=None, pcf_kernel_size: int = 3,
+                   atlas=None, use_textures: bool = False) -> GBufferData:
     pad_w, pad_h = rz.pad_viewport(width, height, cfg)
 
     world_pos, world_nrm, _ = transform_vertices(scene, info.model_transform)
@@ -73,11 +74,22 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     prev_uv_v = jnp.stack([prev_ndc[:, 0] * 0.5 + 0.5,
                            0.5 - prev_ndc[:, 1] * 0.5], axis=-1)
 
-    packed = jnp.concatenate([world_pos, world_nrm, prev_uv_v], axis=-1)
+    attrs_list = [world_pos, world_nrm, prev_uv_v]
+    if use_textures:
+        # transform tangents like normals (rigid/uniform assumption)
+        vm3 = scene.node_matrices[scene.vertex_node][:, :3, :3]
+        tan3 = m3.normalize(jnp.einsum("vi,vij->vj", scene.tangents[:, :3], vm3,
+                                       precision=jax.lax.Precision.HIGHEST))
+        attrs_list += [scene.uvs, tan3, scene.tangents[:, 3:4]]
+    packed = jnp.concatenate(attrs_list, axis=-1)
     interp = rz.interpolate_all(vb, scene.indices, packed, winv)
     pos_px = interp[..., 0:3]
     nrm_px = m3.normalize(interp[..., 3:6])
     prev_uv_px = interp[..., 6:8]
+    if use_textures:
+        uv_px = interp[..., 8:10]
+        tan_px = interp[..., 10:13]
+        tan_sign = interp[..., 13:14]
 
     hit = vb.tri_id >= 0
     xg = (jax.lax.broadcasted_iota(jnp.float32, (pad_h, pad_w), 1) + 0.5) / pad_w
@@ -93,6 +105,61 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     roughness = mats.roughness_factor[mat_id][..., None]
     emissive = mats.emissive_factor[mat_id]
     occlusion = jnp.ones_like(metallic)
+
+    if use_textures and atlas is not None:
+        # material texture fetch indirection (PBR_Textures.fxh analogue):
+        # every slot samples unconditionally (uniform SPMD work); unbound
+        # slots resolve to neutral values via the -1 mask.
+        from diligentfx_tpu.ops.texture import apply_uv_transform, sample_atlas
+        from diligentfx_tpu.ops.raster import bary_setup_from_clip
+        setup_b = bary_setup_from_clip(clip, scene.indices, pad_w, pad_h)
+        _, duv_dx, duv_dy = rz.interpolate_with_derivs(
+            vb, scene.indices, scene.uvs, setup_b, winv)
+        atlas_res = atlas.mips[0].shape[1]
+
+        def slot_sample(slot):
+            s_tid = scene.tex_ids[mat_id, slot]               # (H, W)
+            bound = (s_tid >= 0)[..., None]
+            xf = scene.tex_uv_transform[mat_id, slot]         # (H, W, 6)
+            wraps = scene.tex_wraps[mat_id, slot]
+            uv_t = apply_uv_transform(uv_px, xf[..., :4], xf[..., 4:6])
+            sb = atlas.scale_bias[jnp.maximum(s_tid, 0)]
+            from diligentfx_tpu.ops.sampling import compute_texture_lod
+            eff_w = atlas_res * sb[..., 0]
+            eff_h = atlas_res * sb[..., 1]
+            dx = duv_dx * jnp.stack([eff_w, eff_h], -1)
+            dy = duv_dy * jnp.stack([eff_w, eff_h], -1)
+            rho2 = jnp.maximum(jnp.sum(dx * dx, -1), jnp.sum(dy * dy, -1))
+            lod = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
+            lod = lod + info.renderer_params.mip_bias
+            val = sample_atlas(atlas, jnp.maximum(s_tid, 0), uv_t, lod,
+                               wrap_u=wraps[..., 0], wrap_v=wraps[..., 1])
+            return val, bound
+
+        bc_t, bc_on = slot_sample(0)
+        base_color = jnp.where(
+            bc_on, base_color * m3.srgb_to_linear(bc_t[..., :3]), base_color)
+        n_t, n_on = slot_sample(1)
+        # tangent-space normal perturbation (PerturbNormal analogue)
+        t_b = m3.normalize(tan_px - nrm_px * m3.dot(tan_px, nrm_px))
+        b_b = jnp.cross(nrm_px, t_b) * tan_sign
+        nscale = mats.normal_scale[mat_id][..., None]
+        n_ts = n_t[..., :3] * 2.0 - 1.0
+        n_ts = n_ts * jnp.concatenate(
+            [nscale, nscale, jnp.ones_like(nscale)], axis=-1)
+        n_mapped = m3.normalize(
+            n_ts[..., 0:1] * t_b + n_ts[..., 1:2] * b_b + n_ts[..., 2:3] * nrm_px)
+        nrm_px = jnp.where(n_on, n_mapped, nrm_px)
+        pd_t, pd_on = slot_sample(2)
+        roughness = jnp.where(pd_on, roughness * pd_t[..., 1:2], roughness)
+        metallic = jnp.where(pd_on, metallic * pd_t[..., 2:3], metallic)
+        em_t, em_on = slot_sample(3)
+        emissive = jnp.where(em_on, emissive * m3.srgb_to_linear(em_t[..., :3]),
+                             emissive)
+        ao_t, ao_on = slot_sample(4)
+        occl_strength = mats.occlusion_factor[mat_id][..., None]
+        occlusion = jnp.where(
+            ao_on, 1.0 + occl_strength * (ao_t[..., 0:1] - 1.0), occlusion)
 
     view = m3.normalize(info.camera.position - pos_px)
     srf = sh.get_surface_reflectance_mr(base_color, metallic, roughness)

@@ -59,6 +59,12 @@ class ScenePrimitives(NamedTuple):
     node_matrices: Array   # (N, 4, 4) current world transforms
     prev_node_matrices: Array  # (N, 4, 4) previous frame (motion vectors)
     materials: PBRMaterialBasicAttribs  # stacked, leading dim = materials
+    # Per-material texture bindings (PBRMaterialTextureAttribs analogue),
+    # slot order: [base_color, normal, phys_desc, emissive, occlusion].
+    # None when the scene is untextured (factors only).
+    tex_ids: Array = None          # (M, 5) int32, -1 = unbound
+    tex_uv_transform: Array = None  # (M, 5, 6) = 2x2 scale-rotation + bias
+    tex_wraps: Array = None        # (M, 5, 2) int32 wrap u/v
 
     @property
     def num_vertices(self) -> int:
