@@ -87,7 +87,7 @@ def main():
     renderer = PBRRenderer(ci, raster_cfg=cfg)
     tm = HnTaskManager(renderer, TaskManagerCreateInfo(
         enable_ssao=True, ssao_half_resolution=True,
-        enable_ssr=True, ssr_half_resolution=False,
+        enable_ssr=True, ssr_half_resolution=True,
         enable_taa=True, enable_bloom=True, enable_dof=False))
 
     eye = [0.0, 1.0, 7.5]

@@ -78,7 +78,10 @@ def _march(depth_mips, origin_uvz: Array, dir_uvz: Array, steps: int,
         t, hit_t, hit = carry
         tc = t + dt
         p = origin_uvz + dir_uvz * tc[..., None]
-        d = bilinear_sample(coarse[..., None], p[..., :2])[..., 0]
+        # nearest tap during the coarse march (min-depth mip is conservative);
+        # the binary refinement below uses bilinear on the fine buffer
+        from diligentfx_tpu.ops.sampling import point_sample
+        d = point_sample(coarse[..., None], p[..., :2])[..., 0]
         below = (p[..., 2] > d) & (p[..., 2] < d + thickness_ndc)
         inside = ((p[..., 0] > 0) & (p[..., 0] < 1)
                   & (p[..., 1] > 0) & (p[..., 1] < 1))
