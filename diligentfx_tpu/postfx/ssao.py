@@ -115,8 +115,7 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                 su = (xi + off[..., 0]) / w
                 sv = (yi + off[..., 1]) / h
                 uv = jnp.stack([su, sv], axis=-1)
-                from diligentfx_tpu.ops.sampling import point_sample
-                d = point_sample(depth[..., None], uv)[..., 0]
+                d = bilinear_sample(depth[..., None], uv)[..., 0]
                 sp = _uv_depth_to_view(uv, d, camera)
                 delta = sp - pos
                 dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-10))
