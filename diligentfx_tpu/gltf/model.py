@@ -96,6 +96,33 @@ def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
     if not basic:
         basic.append(PBRMaterialBasicAttribs.create())
 
+    # stacked extension attribs, only when any material uses the extension
+    from diligentfx_tpu.attribs import (
+        PBRMaterialAnisotropyAttribs, PBRMaterialIridescenceAttribs,
+        PBRMaterialSheenAttribs, PBRMaterialTransmissionAttribs,
+        PBRMaterialVolumeAttribs)
+    from diligentfx_tpu.attribs import stack_materials as _stack
+    src = mats if mats else []
+    ext_sheen = ext_aniso = ext_irid = ext_trans = ext_vol = None
+    if any(np.any(np.asarray(m.sheen_color) > 0) for m in src):
+        ext_sheen = _stack([PBRMaterialSheenAttribs.create(
+            m.sheen_color, m.sheen_roughness) for m in src])
+    if any(m.anisotropy_strength != 0 for m in src):
+        ext_aniso = _stack([PBRMaterialAnisotropyAttribs.create(
+            m.anisotropy_strength, m.anisotropy_rotation) for m in src])
+    if any(m.iridescence_factor != 0 for m in src):
+        ext_irid = _stack([PBRMaterialIridescenceAttribs.create(
+            m.iridescence_factor, m.iridescence_ior,
+            m.iridescence_thickness_min, m.iridescence_thickness_max)
+            for m in src])
+    if any(m.transmission_factor != 0 for m in src):
+        ext_trans = _stack([PBRMaterialTransmissionAttribs.create(
+            m.transmission_factor) for m in src])
+    if any(m.volume_thickness != 0 for m in src):
+        ext_vol = _stack([PBRMaterialVolumeAttribs.create(
+            m.volume_attenuation_color, m.volume_thickness,
+            min(m.volume_attenuation_distance, 1e9)) for m in src])
+
     atlas = builder.build() if builder.images else None
     if atlas is None:
         from diligentfx_tpu.ops.texture import white_atlas
@@ -162,6 +189,11 @@ def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
         tex_ids=jnp.asarray(tex_ids),
         tex_uv_transform=jnp.asarray(tex_xform),
         tex_wraps=jnp.asarray(tex_wraps),
+        materials_sheen=ext_sheen,
+        materials_anisotropy=ext_aniso,
+        materials_iridescence=ext_irid,
+        materials_transmission=ext_trans,
+        materials_volume=ext_vol,
     )
 
     # lights from node hierarchy

@@ -132,17 +132,19 @@ class HnTaskManager:
             width=width, height=height, cfg=self.renderer.raster_cfg, ci=self.ci,
             use_ibl=self.renderer.ci.enable_ibl,
             use_textures=self.atlas is not None,
-            pcf_kernel_size=self.renderer.ci.pcf_kernel_size)
+            pcf_kernel_size=self.renderer.ci.pcf_kernel_size,
+            enable_clearcoat=self.renderer.ci.enable_clear_coat)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "cfg", "ci", "use_ibl", "use_textures",
-    "pcf_kernel_size"))
+    "pcf_kernel_size", "enable_clearcoat"))
 def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
                    env_oct, jitter_seq, settings: FrameSettings, atlas, *,
                    width: int, height: int, cfg: RasterizerConfig,
                    ci: TaskManagerCreateInfo, use_ibl: bool,
-                   use_textures: bool, pcf_kernel_size: int) -> FrameOutput:
+                   use_textures: bool, pcf_kernel_size: int,
+                   enable_clearcoat: bool = False) -> FrameOutput:
     # ---- BeginFrame: jitter the camera (TAA), frame constants ---------------
     cam = info.camera
     first_frame = state.frame_index == 0
@@ -169,7 +171,8 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
                         use_ibl=use_ibl, use_lights=True,
                         shadow_mode=shadow_mode,
                         pcf_kernel_size=pcf_kernel_size,
-                        atlas=atlas, use_textures=use_textures)
+                        atlas=atlas, use_textures=use_textures,
+                        enable_clearcoat=enable_clearcoat)
 
     # ---- PostFXContext -------------------------------------------------------
     closest_motion = dilate_closest_motion(gb.depth, gb.motion)

@@ -198,6 +198,100 @@ def sheen_specular_brdf(sheen_color, sheen_roughness, ndotl, ndotv, ndoth):
 
 
 # ---------------------------------------------------------------------------
+# Thin-film iridescence (Shaders/PBR/private/Iridescence.fxh analogue;
+# Belcour & Barla 2017 as specified by KHR_materials_iridescence)
+# ---------------------------------------------------------------------------
+
+
+def _eval_sensitivity(opd_nm: Array, shift: Array) -> Array:
+    """CIE-XYZ spectral sensitivity of thin-film interference at optical path
+    difference `opd_nm` (Belcour & Barla fit).  shift: (..., 3) phase.
+    Returns (..., 3) XYZ."""
+    phase = 2.0 * PI * opd_nm[..., None] * 1e-9
+    val = jnp.array([5.4856e-13, 4.4201e-13, 5.2481e-13])
+    pos = jnp.array([1.6810e6, 1.7953e6, 2.2084e6])
+    var = jnp.array([4.3278e9, 9.3046e9, 6.6121e9])
+    xyz = (val * jnp.sqrt(2.0 * PI * var)
+           * jnp.cos(pos * phase + shift)
+           * jnp.exp(-var * phase * phase))
+    x_extra = (9.7470e-14 * jnp.sqrt(2.0 * PI * 4.5282e9)
+               * jnp.cos(2.2399e6 * phase[..., 0] + shift[..., 0])
+               * jnp.exp(-4.5282e9 * phase[..., 0] ** 2))
+    xyz = xyz.at[..., 0].add(x_extra)
+    return xyz / 1.0685e-7
+
+
+_XYZ_TO_RGB_ROWS = jnp.array([
+    [3.2404542, -1.5371385, -0.4985314],
+    [-0.9692660, 1.8760108, 0.0415560],
+    [0.0556434, -0.2040259, 1.0572252]], jnp.float32)
+
+
+def _f0_to_ior(f0):
+    s = jnp.sqrt(jnp.clip(f0, 0.0, 0.9999))
+    return (1.0 + s) / jnp.maximum(1.0 - s, 1e-4)
+
+
+def _ior_to_f0(ior_t, ior_i):
+    r = (ior_t - ior_i) / jnp.maximum(ior_t + ior_i, 1e-6)
+    return r * r
+
+
+def iridescence_fresnel(outside_ior, iridescence_ior, base_f0: Array,
+                        thickness_nm: Array, cos_theta1: Array) -> Array:
+    """Thin-film iridescence Fresnel → (..., 3) RGB.
+
+    The analogue of EvalIridescence (Shaders/PBR/private/Iridescence.fxh,
+    used at RenderPBR.psh:245), following the KHR_materials_iridescence
+    reference formulation (Belcour & Barla 2017, Schlick interfaces,
+    interference orders m = 1, 2).
+
+    Args broadcast together; thickness in nanometers; cos_theta1 (..., 1).
+    """
+    eta1 = jnp.asarray(outside_ior, jnp.float32)
+    # as thickness → 0 the film vanishes: blend the film IOR to the outside
+    thin = jnp.clip(thickness_nm / 400.0, 0.0, 1.0)
+    eta2 = eta1 + (jnp.maximum(iridescence_ior, 1.0001) - eta1) * \
+        (1.0 - (1.0 - thin) ** 1)  # smooth vanish
+    eta2 = jnp.maximum(eta2, 1.0001)
+    ct1 = jnp.clip(cos_theta1, 1e-4, 1.0)
+
+    sin2 = (1.0 - ct1 * ct1) * (eta1 / eta2) ** 2
+    ct2 = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+
+    # air → film interface (Schlick, scalar)
+    r0_12 = _ior_to_f0(eta2, eta1)
+    r12 = schlick_reflection(ct1, r0_12, jnp.ones_like(r0_12))
+    t121 = 1.0 - r12
+    phi12 = jnp.where(eta2 < eta1, PI, 0.0)
+    phi21 = PI - phi12
+
+    # film → base interface (per RGB channel from base F0)
+    base_ior = _f0_to_ior(base_f0)
+    r0_23 = _ior_to_f0(base_ior, eta2)
+    r23 = schlick_reflection(ct2, r0_23, jnp.ones_like(r0_23))
+    phi23 = jnp.where(base_ior < eta2, PI, 0.0)
+
+    opd = (2.0 * eta2 * thickness_nm * ct2)[..., 0]           # (...,)
+    phi = phi21 + phi23                                       # (..., 3)
+
+    r123 = jnp.clip(r12 * r23, 1e-5, 0.9999)
+    sqrt_r123 = jnp.sqrt(r123)
+    rs = (t121 * t121) * r23 / jnp.maximum(1.0 - r123, 1e-6)
+
+    # m = 0 (DC)
+    intensity = r12 + rs
+    # m = 1, 2 interference orders
+    cm = rs - t121
+    for m in (1, 2):
+        cm = cm * sqrt_r123
+        sm = 2.0 * _eval_sensitivity(m * opd, m * phi)
+        intensity = intensity + cm * sm
+    rgb = jnp.einsum("ij,...j->...i", _XYZ_TO_RGB_ROWS, intensity)
+    return jnp.clip(rgb, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
 # GGX importance sampling (for IBL precompute, PBR_Common.fxh:222-324)
 # ---------------------------------------------------------------------------
 

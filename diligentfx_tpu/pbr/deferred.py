@@ -49,12 +49,13 @@ class GBufferData(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "cfg", "use_ibl", "use_lights", "shadow_mode",
-    "pcf_kernel_size", "use_textures"))
+    "pcf_kernel_size", "use_textures", "enable_clearcoat"))
 def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                    *, width: int, height: int, cfg: RasterizerConfig,
                    use_ibl: bool = True, use_lights: bool = True,
                    shadow_mode=None, pcf_kernel_size: int = 3,
-                   atlas=None, use_textures: bool = False) -> GBufferData:
+                   atlas=None, use_textures: bool = False,
+                   enable_clearcoat: bool = False) -> GBufferData:
     pad_w, pad_h = rz.pad_viewport(width, height, cfg)
 
     world_pos, world_nrm, _ = transform_vertices(scene, info.model_transform)
@@ -164,14 +165,82 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     view = m3.normalize(info.camera.position - pos_px)
     srf = sh.get_surface_reflectance_mr(base_color, metallic, roughness)
     ndotv = jnp.clip(m3.dot(nrm_px, view), 0.0, 1.0)
+
+    # ---- material extension layers (statically enabled by presence of the
+    # stacked attribs, the analogue of the ENABLE_* macros) ------------------
+    clearcoat = None
+    if enable_clearcoat:
+        cc_rough = mats.clearcoat_roughness_factor[mat_id][..., None]
+        clearcoat = sh.ClearcoatShadingInfo(
+            srf=sh.get_surface_reflectance_clearcoat(cc_rough),
+            normal=nrm_px,
+            factor=mats.clearcoat_factor[mat_id][..., None])
+    sheen = None
+    if scene.materials_sheen is not None:
+        ms = scene.materials_sheen
+        sheen = sh.SheenShadingInfo(
+            color=ms.color_factor[mat_id],
+            roughness=jnp.maximum(ms.roughness_factor[mat_id][..., None], 0.03))
+    anisotropy = None
+    if scene.materials_anisotropy is not None:
+        ma = scene.materials_anisotropy
+        strength = ma.strength[mat_id][..., None]
+        rot = ma.rotation[mat_id][..., None]
+        if not use_textures:
+            # tangents weren't interpolated — do it here
+            vm3a = scene.node_matrices[scene.vertex_node][:, :3, :3]
+            tan3a = m3.normalize(jnp.einsum(
+                "vi,vij->vj", scene.tangents[:, :3], vm3a,
+                precision=jax.lax.Precision.HIGHEST))
+            packed_t = jnp.concatenate([tan3a, scene.tangents[:, 3:4]], -1)
+            ti = rz.interpolate_all(vb, scene.indices, packed_t, winv)
+            tan_v, tan_s = ti[..., :3], ti[..., 3:4]
+        else:
+            tan_v, tan_s = tan_px, tan_sign
+        t_o = m3.normalize(tan_v - nrm_px * m3.dot(tan_v, nrm_px))
+        b_o = jnp.cross(nrm_px, t_o) * tan_s
+        cr, sr = jnp.cos(rot), jnp.sin(rot)
+        t_rot = m3.normalize(t_o * cr + b_o * sr)
+        b_rot = m3.normalize(jnp.cross(nrm_px, t_rot))
+        alpha_r = jnp.maximum(roughness * roughness, 1e-3)
+        anisotropy = sh.AnisotropyShadingInfo(
+            strength=strength, tangent=t_rot, bitangent=b_rot,
+            alpha_roughness_t=jnp.maximum(
+                alpha_r * (1.0 + strength), 1e-3),
+            alpha_roughness_b=alpha_r)
+    iridescence = None
+    if scene.materials_iridescence is not None:
+        mi = scene.materials_iridescence
+        factor = mi.factor[mat_id][..., None]
+        thickness = mi.thickness_maximum[mat_id][..., None]
+        iri_ior = mi.ior[mat_id][..., None]
+        iri_f = brdf.iridescence_fresnel(1.0, iri_ior, srf.reflectance0,
+                                         thickness, ndotv)
+        iri_f0 = brdf.schlick_to_f0(ndotv, iri_f, jnp.ones_like(iri_f))
+        # mix base F0 toward the thin-film response (RenderPBR.psh:236-255)
+        srf = srf._replace(reflectance0=srf.reflectance0
+                           + (iri_f0 - srf.reflectance0) * factor)
+        iridescence = sh.IridescenceShadingInfo(
+            factor=factor, thickness=thickness, fresnel=iri_f, f0=iri_f0)
+    transmission = None
+    if scene.materials_transmission is not None:
+        transmission = scene.materials_transmission.factor[mat_id][..., None]
+    volume_thickness = None
+    if scene.materials_volume is not None:
+        volume_thickness = scene.materials_volume.thickness_factor[mat_id][..., None]
+
     shading = sh.SurfaceShadingInfo(
         pos=pos_px, view=view, occlusion=occlusion,
         emissive=emissive * info.renderer_params.emission_scale,
         base=sh.BaseLayerShadingInfo(srf=srf, metallic=metallic,
                                      normal=nrm_px, ndotv=ndotv),
-        ibl_scale=info.renderer_params.ibl_scale[:3])
+        ibl_scale=info.renderer_params.ibl_scale[:3],
+        clearcoat=clearcoat, sheen=sheen, anisotropy=anisotropy,
+        iridescence=iridescence, transmission=transmission,
+        volume_thickness=volume_thickness)
 
-    lighting = sh.default_lighting(pos_px)
+    lighting = sh.default_lighting(pos_px, with_sheen=sheen is not None,
+                                   with_clearcoat=clearcoat is not None)
     if use_lights:
         shadow_factors = None
         if shadow_mode is not None:
@@ -208,6 +277,21 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         spec_factor = jnp.zeros_like(base_color)
 
     direct = lighting.base.punctual + shading.emissive
+    # fold extension layers into the direct / ambient-specular split,
+    # matching ResolveLighting's composition (PBR_Shading.fxh:847-879)
+    if sheen is not None and lighting.sheen is not None:
+        direct = direct + lighting.sheen.punctual
+        amb_s = amb_s + lighting.sheen.specular_ibl * scale
+    if clearcoat is not None and lighting.clearcoat is not None:
+        cc_ndotv = jnp.maximum(m3.dot(clearcoat.normal, view), 0.1)
+        cc_fresnel = brdf.schlick_reflection(
+            cc_ndotv, clearcoat.srf.reflectance0[..., 0:1],
+            clearcoat.srf.reflectance90[..., 0:1])
+        atten = 1.0 - clearcoat.factor * cc_fresnel
+        direct = direct * atten + lighting.clearcoat.punctual * clearcoat.factor
+        amb_d = amb_d * atten
+        amb_s = (amb_s * atten
+                 + lighting.clearcoat.specular_ibl * scale * clearcoat.factor)
 
     ray = _camera_rays(info.camera, pad_w, pad_h)
     bg = sample_env_oct([env_oct], ray, jnp.zeros(ray.shape[:-1]))

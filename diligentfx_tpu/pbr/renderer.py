@@ -65,6 +65,14 @@ class ScenePrimitives(NamedTuple):
     tex_ids: Array = None          # (M, 5) int32, -1 = unbound
     tex_uv_transform: Array = None  # (M, 5, 6) = 2x2 scale-rotation + bias
     tex_wraps: Array = None        # (M, 5, 2) int32 wrap u/v
+    # Stacked material-extension attribs (PBR_Structures.fxh:185-239);
+    # None disables the corresponding shading layer statically (the analogue
+    # of the ENABLE_* shader macros).
+    materials_sheen: object = None         # PBRMaterialSheenAttribs stacked
+    materials_anisotropy: object = None    # PBRMaterialAnisotropyAttribs
+    materials_iridescence: object = None   # PBRMaterialIridescenceAttribs
+    materials_transmission: object = None  # PBRMaterialTransmissionAttribs
+    materials_volume: object = None        # PBRMaterialVolumeAttribs
 
     @property
     def num_vertices(self) -> int:
