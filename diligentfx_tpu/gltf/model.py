@@ -128,9 +128,10 @@ def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
         from diligentfx_tpu.ops.texture import white_atlas
         atlas = white_atlas()
 
-    # flatten scene nodes with meshes
+    # flatten scene nodes with meshes (BLEND geometry splits into the OIT set)
     pos, nrm, uv, tan = [], [], [], []
     idx, vnode, tmat, tds = [], [], [], []
+    bidx, btmat = [], []
     node_mats = []
     v_off = 0
     node_slot = 0
@@ -159,19 +160,30 @@ def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
             nrm.append(n.astype(np.float32))
             uv.append(u.astype(np.float32))
             tan.append(t.astype(np.float32))
-            idx.append(prim.indices + v_off)
             vnode.append(np.full(v, node_slot, np.int32))
             mat_i = prim.material if prim.material >= 0 else 0
             nt = prim.indices.shape[0]
-            tmat.append(np.full(nt, mat_i, np.int32))
-            ds = mats[mat_i].double_sided if mat_i < len(mats) else False
-            tds.append(np.full(nt, ds, bool))
+            is_blend = (mat_i < len(mats) and mats[mat_i].alpha_mode == "BLEND")
+            if is_blend:
+                bidx.append(prim.indices + v_off)
+                btmat.append(np.full(nt, mat_i, np.int32))
+            else:
+                idx.append(prim.indices + v_off)
+                tmat.append(np.full(nt, mat_i, np.int32))
+                ds = mats[mat_i].double_sided if mat_i < len(mats) else False
+                tds.append(np.full(nt, ds, bool))
             v_off += v
         node_mats.append(node.world.astype(np.float32))
         node_slot += 1
 
     if not pos:
         raise ValueError("glTF scene contains no triangle geometry")
+    if not idx:
+        # all-transparent scene: keep a degenerate opaque triangle so the
+        # main pass has static nonzero shapes
+        idx.append(np.zeros((1, 3), np.int32))
+        tmat.append(np.zeros(1, np.int32))
+        tds.append(np.zeros(1, bool))
 
     node_m = jnp.asarray(np.stack(node_mats))
     scene = ScenePrimitives(
@@ -194,6 +206,8 @@ def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
         materials_iridescence=ext_irid,
         materials_transmission=ext_trans,
         materials_volume=ext_vol,
+        blend_indices=jnp.asarray(np.concatenate(bidx)) if bidx else None,
+        blend_tri_material=jnp.asarray(np.concatenate(btmat)) if btmat else None,
     )
 
     # lights from node hierarchy

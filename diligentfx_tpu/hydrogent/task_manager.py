@@ -69,6 +69,7 @@ class TaskManagerCreateInfo:
     convert_output_to_srgb: bool = True
     ssr_scale: float = 1.0
     ssao_scale: float = 1.0
+    oit_layer_count: int = 4   # K layers for ALPHA_MODE_BLEND geometry
 
 
 class FrameSettings(NamedTuple):
@@ -216,6 +217,29 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
         spec = spec + (ssr_term - spec) * conf
     color = gb.direct + ao1 * gb.ambient_diffuse + ao1 * spec
     color = jnp.where(gb.hit[..., None], color, gb.background)
+
+    # ---- OIT (BeginOITPass / RenderRprims OITLayers / EndOITPass) --------------
+    if scene.blend_indices is not None and ci.oit_layer_count > 0:
+        from diligentfx_tpu.ops.raster import pad_viewport
+        from diligentfx_tpu.pbr import oit
+        from diligentfx_tpu.pbr.renderer import transform_vertices
+        pad_w, pad_h = pad_viewport(width, height, cfg)
+        wp, wn, _ = transform_vertices(scene, info.model_transform)
+        clip_b = m3.transform_points(wp, info.camera.view_proj)
+        winv_b = jnp.where(jnp.abs(clip_b[:, 3]) > 1e-12, 1.0 / clip_b[:, 3], 0.0)
+        blend_scene = scene._replace(tri_material=scene.blend_tri_material,
+                                     indices=scene.blend_indices)
+        kl = oit.rasterize_klayers(clip_b, scene.blend_indices,
+                                   width=pad_w, height=pad_h, cfg=cfg,
+                                   num_layers=ci.oit_layer_count)
+        kl = oit.KLayerBuffer(
+            depth=kl.depth[:, :height, :width],
+            tri_id=kl.tri_id[:, :height, :width],
+            bary=kl.bary[:, :height, :width],
+            overflow=kl.overflow[:height, :width])
+        lcol, lalpha = oit.shade_klayers(blend_scene, info, ibl_maps, kl,
+                                         wp, wn, winv_b, use_ibl=use_ibl)
+        color = oit.composite_klayers(color, gb.depth, kl, lcol, lalpha)
 
     # ---- TAA ------------------------------------------------------------------
     new_taa = state.taa

@@ -1,0 +1,198 @@
+"""Order-independent transparency — the analogue of the reference's K-layer
+OIT (Shaders/Common/public/OIT.fxh:1-26 packed depth|transmittance layers,
+ClearOITLayers.csh / UpdateOITLayers.psh / ApplyOITAttenuation.psh, managed by
+PBR_Renderer OIT resources, PBR_Renderer.hpp:787-793, cpp:2274-2500).
+
+TPU design: instead of a per-pixel atomic sorted list in a structured buffer,
+transparent triangles rasterize into a **K-layer visibility buffer** — the
+per-tile scan keeps the K nearest fragments per pixel via an unrolled
+insertion network (a fixed-K sorting network, SURVEY.md §7 step 8).  Each
+layer is then shaded like the opaque path and composited front-to-back; the
+reference's RGBA8 "tail" average of overflow layers corresponds to fragments
+dropped past K (counted per pixel for diagnostics).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from diligentfx_tpu import math3d as m3
+from diligentfx_tpu.config import RasterizerConfig
+from diligentfx_tpu.ops import raster as rz
+
+Array = jax.Array
+
+
+class KLayerBuffer(NamedTuple):
+    """Per-pixel K nearest transparent fragments, depth-ascending."""
+    depth: Array     # (K, H, W)
+    tri_id: Array    # (K, H, W) int32, -1 empty
+    bary: Array      # (K, H, W, 2)
+    overflow: Array  # (H, W) int32 — fragments dropped past K (the "tail")
+
+
+def _klayer_raster_tiles(setup, candidates, width, height,
+                         cfg: RasterizerConfig, num_layers: int):
+    tiles_x = width // cfg.tile_w
+    tiles_y = height // cfg.tile_h
+    num_tiles = tiles_x * tiles_y
+    th, tw = cfg.tile_h, cfg.tile_w
+    total_cap = candidates.shape[1]
+    chunk = min(cfg.chunk, total_cap)
+    n_steps = -(-total_cap // chunk)
+    pad = n_steps * chunk - total_cap
+    if pad:
+        candidates = jnp.pad(candidates, ((0, 0), (0, pad)), constant_values=-1)
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_px0 = (tile_ids % tiles_x) * tw
+    tile_py0 = (tile_ids // tiles_x) * th
+    ly = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
+    lx = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
+    px = tile_px0[:, None, None].astype(jnp.float32) + lx[None]
+    py = tile_py0[:, None, None].astype(jnp.float32) + ly[None]
+
+    k = num_layers
+
+    def step(state, cand_k):
+        zs, ids, b0s, b1s, ovf = state
+        live = cand_k >= 0
+        s = setup[jnp.maximum(cand_k, 0)]                    # (tiles, K, 16)
+
+        def plane(ai, bi, ci):
+            return (s[..., ai, None, None] * px[:, None]
+                    + s[..., bi, None, None] * py[:, None]
+                    + s[..., ci, None, None])
+
+        l0 = plane(0, 1, 2)
+        l1 = plane(3, 4, 5)
+        l2 = 1.0 - l0 - l1
+        z = plane(6, 7, 8)
+        lo0 = plane(9, 10, 11)
+        lo1 = plane(12, 13, 14)
+        orig_ids = s[..., 15].astype(jnp.int32)
+        cover = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & live[..., None, None]
+
+        # insert each candidate into the per-pixel sorted K-layer list
+        for c in range(cand_k.shape[1]):
+            cz = jnp.where(cover[:, c], z[:, c], jnp.inf)
+            cid = jnp.where(cover[:, c], orig_ids[:, c, None, None], -1)
+            cb0 = lo0[:, c]
+            cb1 = lo1[:, c]
+            for slot in range(k):
+                closer = cz < zs[slot]
+                nz = jnp.where(closer, cz, zs[slot])
+                nid = jnp.where(closer, cid, ids[slot])
+                nb0 = jnp.where(closer, cb0, b0s[slot])
+                nb1 = jnp.where(closer, cb1, b1s[slot])
+                cz = jnp.where(closer, zs[slot], cz)
+                cid = jnp.where(closer, ids[slot], cid)
+                cb0 = jnp.where(closer, b0s[slot], cb0)
+                cb1 = jnp.where(closer, b1s[slot], cb1)
+                zs = [*zs[:slot], nz, *zs[slot + 1:]]
+                ids = [*ids[:slot], nid, *ids[slot + 1:]]
+                b0s = [*b0s[:slot], nb0, *b0s[slot + 1:]]
+                b1s = [*b1s[:slot], nb1, *b1s[slot + 1:]]
+            # whatever is left in the candidate after K swaps overflowed
+            ovf = ovf + (jnp.isfinite(cz) & (cid >= 0)).astype(jnp.int32)
+        return (zs, ids, b0s, b1s, ovf), None
+
+    init = (
+        [jnp.full((num_tiles, th, tw), jnp.inf, jnp.float32) for _ in range(k)],
+        [jnp.full((num_tiles, th, tw), -1, jnp.int32) for _ in range(k)],
+        [jnp.zeros((num_tiles, th, tw), jnp.float32) for _ in range(k)],
+        [jnp.zeros((num_tiles, th, tw), jnp.float32) for _ in range(k)],
+        jnp.zeros((num_tiles, th, tw), jnp.int32),
+    )
+    cand_steps = candidates.reshape(num_tiles, n_steps, chunk).transpose(1, 0, 2)
+    (zs, ids, b0s, b1s, ovf), _ = jax.lax.scan(step, init, cand_steps)
+
+    def untile(x):
+        c = x.reshape(tiles_y, tiles_x, th, tw).transpose(0, 2, 1, 3)
+        return c.reshape(height, width)
+
+    return KLayerBuffer(
+        depth=jnp.stack([untile(z) for z in zs]),
+        tri_id=jnp.stack([untile(i) for i in ids]),
+        bary=jnp.stack([jnp.stack([untile(a), untile(b)], axis=-1)
+                        for a, b in zip(b0s, b1s)]),
+        overflow=untile(ovf),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg",
+                                             "num_layers"))
+def rasterize_klayers(clip: Array, indices: Array, *, width: int, height: int,
+                      cfg: RasterizerConfig = RasterizerConfig(),
+                      num_layers: int = 4) -> KLayerBuffer:
+    """Rasterize (transparent) triangles keeping the K nearest fragments per
+    pixel (UpdateOITLayers analogue; transparent geometry is double-sided)."""
+    setup, valid, bbox, _ = rz._triangle_setup(
+        clip, indices, width, height,
+        jnp.ones((indices.shape[0],), bool), True, 1e-3)
+    candidates, _compact, _counts, *_ = rz._bin_triangles(
+        valid, bbox, width, height, cfg)
+    return _klayer_raster_tiles(setup, candidates, width, height, cfg, num_layers)
+
+
+def shade_klayers(scene, info, ibl_maps, layers: KLayerBuffer,
+                  world_pos: Array, world_nrm: Array, winv: Array,
+                  use_ibl: bool = True) -> Tuple[Array, Array]:
+    """Shade each transparent layer like the opaque path (factors-only
+    materials) → (colors (K, H, W, 3), alphas (K, H, W, 1))."""
+    from diligentfx_tpu.pbr import shading as sh
+
+    def shade_one(depth_l, tri_l, bary_l):
+        vb = rz.VisibilityBuffer(depth=depth_l, tri_id=tri_l, bary=bary_l)
+        packed = jnp.concatenate([world_pos, world_nrm], axis=-1)
+        interp = rz.interpolate_all(vb, scene.indices, packed, winv)
+        pos_px = interp[..., 0:3]
+        nrm_px = m3.normalize(interp[..., 3:6])
+        tid = jnp.maximum(tri_l, 0)
+        mat_id = scene.tri_material[tid]
+        mats = scene.materials
+        base_rgba = mats.base_color_factor[mat_id]
+        metallic = mats.metallic_factor[mat_id][..., None]
+        roughness = mats.roughness_factor[mat_id][..., None]
+        view = m3.normalize(info.camera.position - pos_px)
+        srf = sh.get_surface_reflectance_mr(base_rgba[..., :3], metallic, roughness)
+        ndotv = jnp.clip(m3.dot(nrm_px, view), 0.0, 1.0)
+        shading = sh.SurfaceShadingInfo(
+            pos=pos_px, view=view, occlusion=jnp.ones_like(metallic),
+            emissive=mats.emissive_factor[mat_id],
+            base=sh.BaseLayerShadingInfo(srf=srf, metallic=metallic,
+                                         normal=nrm_px, ndotv=ndotv),
+            ibl_scale=info.renderer_params.ibl_scale[:3])
+        lighting = sh.default_lighting(pos_px)
+        lighting = sh.apply_punctual_lights(shading, info.lights, lighting)
+        if use_ibl and ibl_maps is not None:
+            lighting = sh.apply_ibl(shading, ibl_maps, lighting)
+        color = sh.resolve_lighting(shading, lighting)
+        alpha = jnp.where((tri_l >= 0)[..., None], base_rgba[..., 3:4], 0.0)
+        return jnp.where((tri_l >= 0)[..., None], color, 0.0), alpha
+
+    colors, alphas = jax.vmap(shade_one)(layers.depth, layers.tri_id, layers.bary)
+    return colors, alphas
+
+
+def composite_klayers(opaque_color: Array, opaque_depth: Array,
+                      layers: KLayerBuffer, layer_colors: Array,
+                      layer_alphas: Array) -> Array:
+    """Front-to-back composite of shaded transparent layers over the opaque
+    frame (ApplyOITAttenuation analogue).
+
+    layer_colors (K, H, W, 3) premultipliable radiance; layer_alphas (K, H, W, 1).
+    Layers behind the opaque depth are rejected (z-test vs opaque)."""
+    k = layers.depth.shape[0]
+    out = jnp.zeros_like(opaque_color)
+    transmittance = jnp.ones_like(layer_alphas[0])
+    for i in range(k):
+        valid = ((layers.tri_id[i] >= 0)
+                 & (layers.depth[i] <= opaque_depth))[..., None]
+        a = jnp.where(valid, layer_alphas[i], 0.0)
+        out = out + transmittance * a * layer_colors[i]
+        transmittance = transmittance * (1.0 - a)
+    return out + transmittance * opaque_color

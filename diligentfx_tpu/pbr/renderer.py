@@ -73,6 +73,10 @@ class ScenePrimitives(NamedTuple):
     materials_iridescence: object = None   # PBRMaterialIridescenceAttribs
     materials_transmission: object = None  # PBRMaterialTransmissionAttribs
     materials_volume: object = None        # PBRMaterialVolumeAttribs
+    # ALPHA_MODE_BLEND geometry, rendered through K-layer OIT (pbr/oit.py);
+    # None when the scene has no transparency.
+    blend_indices: Array = None            # (Tb, 3) int32
+    blend_tri_material: Array = None       # (Tb,) int32
 
     @property
     def num_vertices(self) -> int:
