@@ -127,6 +127,7 @@ class GLTFModel:
     nodes: List[GLTFNode] = field(default_factory=list)
     lights: List[GLTFLight] = field(default_factory=list)
     skins: List[Dict[str, Any]] = field(default_factory=list)
+    animations: List[Any] = field(default_factory=list)
     default_scene_nodes: List[int] = field(default_factory=list)
 
 
@@ -440,6 +441,10 @@ def parse_gltf(doc: dict, base_dir: str = ".", embedded_bin: bytes = b"") -> GLT
             range=l.get("range", 0.0),
             inner_cone_angle=spot.get("innerConeAngle", 0.0),
             outer_cone_angle=spot.get("outerConeAngle", 0.7853981634)))
+
+    # --- animations ---
+    from diligentfx_tpu.gltf.animation import parse_animations
+    model.animations = parse_animations(doc, rd)
 
     # --- skins ---
     for s in doc.get("skins", []):

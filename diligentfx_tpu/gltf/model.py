@@ -34,6 +34,42 @@ class RenderScene(NamedTuple):
     scene: object               # pbr.renderer.ScenePrimitives
     atlas: TextureAtlas
     lights: Optional[PBRLightAttribs]
+    mesh_node_ids: tuple = ()   # model node index per scene node slot
+
+
+def update_animation(rs: RenderScene, model: GLTFModel, player, t: float,
+                     prev_t: Optional[float] = None) -> RenderScene:
+    """Advance animations: re-evaluates node worlds + skin matrices at time t
+    (and prev_t for motion vectors), returning an updated RenderScene.
+    The double-buffering mirrors HnSkinningComputation (include:45-73)."""
+    import jax.numpy as jnp
+    from diligentfx_tpu.gltf.animation import compute_skin_matrices
+
+    worlds = player.evaluate(t)
+    scene = rs.scene
+    node_m = jnp.asarray(np.stack([worlds[ni].astype(np.float32)
+                                   for ni in rs.mesh_node_ids]))
+    prev_node_m = scene.node_matrices
+    jm = prev_jm = None
+    if model.skins and scene.joint_matrices is not None:
+        jm = jnp.asarray(np.concatenate(
+            [compute_skin_matrices(model, s, worlds)
+             for s in range(len(model.skins))]))
+        prev_jm = scene.joint_matrices
+    if prev_t is not None:
+        prev_worlds = player.evaluate(prev_t)
+        prev_node_m = jnp.asarray(np.stack(
+            [prev_worlds[ni].astype(np.float32) for ni in rs.mesh_node_ids]))
+        if jm is not None:
+            prev_jm = jnp.asarray(np.concatenate(
+                [compute_skin_matrices(model, s, prev_worlds)
+                 for s in range(len(model.skins))]))
+    scene = scene._replace(
+        node_matrices=node_m, prev_node_matrices=prev_node_m,
+        joint_matrices=jm if jm is not None else scene.joint_matrices,
+        prev_joint_matrices=(prev_jm if prev_jm is not None
+                             else scene.prev_joint_matrices))
+    return rs._replace(scene=scene)
 
 
 def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
@@ -133,6 +169,17 @@ def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
     idx, vnode, tmat, tds = [], [], [], []
     bidx, btmat = [], []
     node_mats = []
+    joints_l, weights_l = [], []
+    any_skin = any(model.nodes[ni].skin >= 0 and model.nodes[ni].mesh >= 0
+                   for ni in model.default_scene_nodes)
+    # per-skin offset into the concatenated joint-matrix array
+    skin_offsets = []
+    off = 0
+    for s in model.skins:
+        skin_offsets.append(off)
+        off += len(s["joints"])
+    total_joints = max(off, 1)
+    mesh_node_ids = []
     v_off = 0
     node_slot = 0
     for ni in model.default_scene_nodes:
@@ -161,6 +208,17 @@ def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
             uv.append(u.astype(np.float32))
             tan.append(t.astype(np.float32))
             vnode.append(np.full(v, node_slot, np.int32))
+            if any_skin:
+                if (node.skin >= 0 and prim.joints is not None
+                        and prim.weights is not None):
+                    jo = skin_offsets[node.skin]
+                    joints_l.append(prim.joints.astype(np.int32) + jo)
+                    w4 = prim.weights.astype(np.float32)
+                    wsum = np.maximum(w4.sum(-1, keepdims=True), 1e-9)
+                    weights_l.append(w4 / wsum)
+                else:
+                    joints_l.append(np.full((v, 4), -1, np.int32))
+                    weights_l.append(np.zeros((v, 4), np.float32))
             mat_i = prim.material if prim.material >= 0 else 0
             nt = prim.indices.shape[0]
             is_blend = (mat_i < len(mats) and mats[mat_i].alpha_mode == "BLEND")
@@ -174,6 +232,7 @@ def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
                 tds.append(np.full(nt, ds, bool))
             v_off += v
         node_mats.append(node.world.astype(np.float32))
+        mesh_node_ids.append(ni)
         node_slot += 1
 
     if not pos:
@@ -208,6 +267,12 @@ def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
         materials_volume=ext_vol,
         blend_indices=jnp.asarray(np.concatenate(bidx)) if bidx else None,
         blend_tri_material=jnp.asarray(np.concatenate(btmat)) if btmat else None,
+        joints=jnp.asarray(np.concatenate(joints_l)) if joints_l else None,
+        weights=jnp.asarray(np.concatenate(weights_l)) if joints_l else None,
+        joint_matrices=(jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
+                                 (total_joints, 1, 1)) if joints_l else None),
+        prev_joint_matrices=(jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
+                                      (total_joints, 1, 1)) if joints_l else None),
     )
 
     # lights from node hierarchy
@@ -234,4 +299,5 @@ def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
     if extra_lights is not None:
         lights.append(extra_lights)
     all_lights = PBRLightAttribs.concat(lights) if lights else None
-    return RenderScene(scene=scene, atlas=atlas, lights=all_lights)
+    return RenderScene(scene=scene, atlas=atlas, lights=all_lights,
+                       mesh_node_ids=tuple(mesh_node_ids))

@@ -64,9 +64,9 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                               cfg=cfg, double_sided=scene.tri_double_sided)
 
     winv = jnp.where(jnp.abs(clip[:, 3]) > 1e-12, 1.0 / clip[:, 3], 0.0)
-    # previous-frame clip position for motion vectors (object + camera)
-    prev_scene = scene._replace(node_matrices=scene.prev_node_matrices)
-    prev_world, _, _ = transform_vertices(prev_scene, info.model_transform)
+    # previous-frame clip position for motion vectors (object + camera + skin)
+    prev_world, _, _ = transform_vertices(scene, info.model_transform,
+                                          previous=True)
     prev_vp = (info.prev_view_proj if info.prev_view_proj is not None
                else info.camera.view_proj)
     prev_clip = m3.transform_points(prev_world, prev_vp)

@@ -77,6 +77,13 @@ class ScenePrimitives(NamedTuple):
     # None when the scene has no transparency.
     blend_indices: Array = None            # (Tb, 3) int32
     blend_tri_material: Array = None       # (Tb,) int32
+    # Skinning (WriteSkinningData / HnSkinningComputation analogue).
+    # joint_matrices are world-space skin matrices (jointWorld @ inverseBind
+    # pre-multiplied on host); prev_* double-buffers them for motion vectors.
+    joints: Array = None                   # (V, 4) int32, -1 = unskinned vertex
+    weights: Array = None                  # (V, 4) f32
+    joint_matrices: Array = None           # (J, 4, 4)
+    prev_joint_matrices: Array = None      # (J, 4, 4)
 
     @property
     def num_vertices(self) -> int:
@@ -141,14 +148,27 @@ class RenderInfo(NamedTuple):
     prev_view_proj: Array = None
 
 
-def transform_vertices(scene: ScenePrimitives, model: Optional[Array] = None):
+def transform_vertices(scene: ScenePrimitives, model: Optional[Array] = None,
+                       previous: bool = False):
     """Vertex stage: gather node matrix per vertex + batched transform.
+    With skinning data present, blends 4 joint matrices per vertex
+    (RenderPBR.vsh skinning incl. prev-frame matrices for motion vectors).
     Returns (world_pos (V,3), world_normal (V,3), world_tangent (V,3))."""
-    mats = scene.node_matrices
+    mats = scene.prev_node_matrices if previous else scene.node_matrices
     if model is not None:
         mats = jnp.einsum("nij,jk->nik", mats, model,
                           precision=jax.lax.Precision.HIGHEST)
     vm = mats[scene.vertex_node]                                  # (V, 4, 4)
+    if scene.joints is not None:
+        jm = (scene.prev_joint_matrices if previous and
+              scene.prev_joint_matrices is not None
+              else scene.joint_matrices)                          # (J, 4, 4)
+        jidx = jnp.maximum(scene.joints, 0)                       # (V, 4)
+        jw = scene.weights                                        # (V, 4)
+        skin_m = jnp.einsum("vk,vkij->vij", jw, jm[jidx],
+                            precision=jax.lax.Precision.HIGHEST)  # (V, 4, 4)
+        skinned = jnp.sum(jw, axis=-1, keepdims=True) > 1e-6
+        vm = jnp.where(skinned[..., None], skin_m, vm)
     p4 = jnp.concatenate([scene.positions, jnp.ones_like(scene.positions[:, :1])], -1)
     world = jnp.einsum("vi,vij->vj", p4, vm, precision=jax.lax.Precision.HIGHEST)[:, :3]
     # normals: inverse-transpose; for rigid+uniform-scale transforms the 3x3
