@@ -85,10 +85,14 @@ def main():
                                                        TaskManagerCreateInfo)
 
     renderer = PBRRenderer(ci, raster_cfg=cfg)
+    from diligentfx_tpu.postfx.taa import TAAFeatureFlags
     tm = HnTaskManager(renderer, TaskManagerCreateInfo(
         enable_ssao=True, ssao_half_resolution=True,
+        ssao_num_slices=2, ssao_num_steps=4,
         enable_ssr=True, ssr_half_resolution=True,
-        enable_taa=True, enable_bloom=True, enable_dof=False))
+        enable_taa=True, enable_bloom=True, enable_dof=False,
+        taa_feature_flags=(TAAFeatureFlags.YCOCG_COLOR_SPACE
+                           | TAAFeatureFlags.GAUSSIAN_WEIGHTING)))
 
     eye = [0.0, 1.0, 7.5]
     view = m3.look_at(eye, [0.0, 0.0, 0.0])
@@ -101,8 +105,12 @@ def main():
     info = RenderInfo(camera=cam, lights=lights,
                       renderer_params=PBRRendererShaderParameters.create())
 
+    from diligentfx_tpu.hydrogent.task_manager import FrameSettings
+    from diligentfx_tpu.postfx.ssr import SSRSettings
+    settings = FrameSettings(ssr=SSRSettings(max_traversal_intersections=24))
+
     state = tm.initial_state(w, h)
-    out = tm.execute(scene, info, state, width=w, height=h)
+    out = tm.execute(scene, info, state, width=w, height=h, settings=settings)
     state = out.state
     jax.block_until_ready(out.color)
     assert bool(jnp.isfinite(out.color).all()), "non-finite output"
@@ -110,7 +118,8 @@ def main():
     times = []
     for _ in range(frames):
         t0 = time.perf_counter()
-        out = tm.execute(scene, info, state, width=w, height=h)
+        out = tm.execute(scene, info, state, width=w, height=h,
+                         settings=settings)
         state = out.state
         jax.block_until_ready(out.color)
         times.append((time.perf_counter() - t0) * 1000.0)

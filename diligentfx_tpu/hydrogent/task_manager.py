@@ -70,6 +70,12 @@ class TaskManagerCreateInfo:
     ssr_scale: float = 1.0
     ssao_scale: float = 1.0
     oit_layer_count: int = 4   # K layers for ALPHA_MODE_BLEND geometry
+    # quality/perf knobs (gathers are the TPU cost unit — see PERF_NOTES.md)
+    taa_feature_flags: int = (fx_taa.TAAFeatureFlags.BICUBIC_FILTER
+                              | fx_taa.TAAFeatureFlags.YCOCG_COLOR_SPACE
+                              | fx_taa.TAAFeatureFlags.GAUSSIAN_WEIGHTING)
+    ssao_num_slices: int = 3
+    ssao_num_steps: int = 6
 
 
 class FrameSettings(NamedTuple):
@@ -190,7 +196,8 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
         ao, new_ssao = fx_ssao.apply_ssao(
             gb.depth, gb.normal_view, info.camera, state.frame_index,
             settings.ssao, state=state.ssao, motion=gb.motion,
-            half_resolution=ci.ssao_half_resolution)
+            half_resolution=ci.ssao_half_resolution,
+            num_slices=ci.ssao_num_slices, num_steps=ci.ssao_num_steps)
         ao = 1.0 - (1.0 - ao) * ci.ssao_scale
 
     # ---- SSR -----------------------------------------------------------------
@@ -249,7 +256,8 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
             state.taa, fx_taa.TAAState(color=color,
                                        sample_count=jnp.ones_like(gb.depth)))
         color, new_taa = fx_taa.taa_accumulate(color, taa_state, resources,
-                                               settings.taa)
+                                               settings.taa,
+                                               feature_flags=ci.taa_feature_flags)
 
     # ---- DoF / Bloom -----------------------------------------------------------
     new_dof = state.dof

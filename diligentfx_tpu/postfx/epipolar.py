@@ -1,0 +1,325 @@
+"""Epipolar light scattering — the analogue of
+PostProcess/EpipolarLightScattering (3,344 host + 3,929 shader LoC; Intel
+Outdoor Light Scattering-based, README:6): Rayleigh+Mie atmosphere with
+precomputed optical-depth LUT, inscattering computed on an epipolar grid of
+`num_slices × samples_per_slice` points instead of per pixel
+(EpipolarLightScatteringStructures.fxh:97-160), shadowed ray marching (god
+rays), epipolar→screen unwarp with depth-break correction, sun disk, and
+auto-exposure measurement.
+
+TPU-first deviations (documented per SURVEY.md §7 step 7):
+  * The adaptive sample-refinement / interpolation-source search of the
+    reference (data-dependent) is replaced by a fixed ray-march budget at
+    EVERY epipolar sample — uniform SPMD work at equal-or-better quality.
+  * The 1D min/max shadow binary tree becomes direct cascaded-shadow-map
+    sampling at each march step (the tree accelerates divergent DDA on GPUs;
+    fixed-step marching on TPU is already coherent).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from diligentfx_tpu import math3d as m3
+from diligentfx_tpu.attribs import CameraAttribs
+from diligentfx_tpu.ops.sampling import bilinear_sample
+from diligentfx_tpu.postfx.context import depth_to_camera_z, reconstruct_world_pos
+
+Array = jax.Array
+PI = 3.141592653589793
+
+# Earth atmosphere constants (EpipolarLightScatteringStructures.fxh:180-246)
+EARTH_RADIUS = 6_360_000.0
+ATMOSPHERE_TOP = 6_420_000.0
+BETA_RAYLEIGH = jnp.array([5.802e-6, 13.558e-6, 33.1e-6])
+BETA_MIE = jnp.array([3.996e-6, 3.996e-6, 3.996e-6])
+BETA_MIE_EXT = BETA_MIE / 0.9
+BETA_OZONE = jnp.array([0.650e-6, 1.881e-6, 0.085e-6])
+H_RAYLEIGH = 7994.0
+H_MIE = 1200.0
+
+
+class EpipolarSettings(NamedTuple):
+    """EpipolarLightScatteringAttribs analogue (dynamic)."""
+    num_epipolar_slices: int = 512        # static (structures fxh:101)
+    max_samples_in_slice: int = 256       # static (structures fxh:104)
+    num_ray_march_steps: int = 32         # static fixed budget
+    mie_g: Array = jnp.float32(0.76)
+    sun_intensity: Array = jnp.float32(20.0)
+    scene_scale: Array = jnp.float32(1.0)  # world units → meters
+    base_altitude: Array = jnp.float32(50.0)
+    sun_angular_radius: Array = jnp.float32(0.00935)  # ~0.535°
+
+
+def _density(h):
+    """(rayleigh, mie) relative densities at altitude h meters."""
+    hc = jnp.clip(h, 0.0, ATMOSPHERE_TOP - EARTH_RADIUS)
+    return jnp.exp(-hc / H_RAYLEIGH), jnp.exp(-hc / H_MIE)
+
+
+@functools.partial(jax.jit, static_argnames=("height_res", "angle_res", "steps"))
+def precompute_optical_depth_lut(height_res: int = 64, angle_res: int = 128,
+                                 steps: int = 64) -> Array:
+    """(height_res, angle_res, 2) optical depth (Rayleigh, Mie densities
+    integrated) from altitude h toward zenith angle θ to the atmosphere top —
+    the PrecomputeNetDensityToAtmTop pass."""
+    h_top = ATMOSPHERE_TOP - EARTH_RADIUS
+    hs = (jnp.arange(height_res) + 0.5) / height_res
+    hs = hs * hs * h_top                                # quadratic packing
+    cz = (jnp.arange(angle_res) + 0.5) / angle_res * 2.0 - 1.0
+    h, c = jnp.meshgrid(hs, cz, indexing="ij")
+
+    r0 = EARTH_RADIUS + h
+    # ray-sphere exit distance to atmosphere top
+    b = r0 * c
+    disc = b * b - (r0 * r0 - ATMOSPHERE_TOP * ATMOSPHERE_TOP)
+    t_exit = -b + jnp.sqrt(jnp.maximum(disc, 0.0))
+    ds = t_exit / steps
+
+    def body(i, acc):
+        t = (i + 0.5) * ds
+        r = jnp.sqrt(r0 * r0 + t * t + 2.0 * r0 * t * c)
+        dr, dm = _density(r - EARTH_RADIUS)
+        return (acc[0] + dr * ds, acc[1] + dm * ds)
+
+    odr, odm = jax.lax.fori_loop(0, steps, body,
+                                 (jnp.zeros_like(h), jnp.zeros_like(h)))
+    return jnp.stack([odr, odm], axis=-1)
+
+
+def _lut_uv(h, cos_zenith):
+    h_top = ATMOSPHERE_TOP - EARTH_RADIUS
+    u = (cos_zenith + 1.0) * 0.5
+    v = jnp.sqrt(jnp.clip(h / h_top, 0.0, 1.0))
+    return jnp.stack([u, v], axis=-1)
+
+
+def _transmittance_to_sun(lut: Array, h, cos_zenith):
+    od = bilinear_sample(lut, _lut_uv(h, cos_zenith))
+    tau = (BETA_RAYLEIGH * od[..., 0:1] + BETA_MIE_EXT * od[..., 1:2]
+           + BETA_OZONE * od[..., 0:1] * 6e-7 / 8e-6)
+    return jnp.exp(-tau)
+
+
+def phase_rayleigh(c):
+    return 3.0 / (16.0 * PI) * (1.0 + c * c)
+
+
+def phase_mie(c, g):
+    """Cornette-Shanks."""
+    g2 = g * g
+    return (3.0 / (8.0 * PI) * (1.0 - g2) * (1.0 + c * c)
+            / ((2.0 + g2) * jnp.power(jnp.maximum(
+                1.0 + g2 - 2.0 * g * c, 1e-6), 1.5)))
+
+
+def _inscatter_march(lut, origins, directions, lengths, sun_dir, s: EpipolarSettings,
+                     shadow_fn=None):
+    """Single-scattering inscatter + transmittance along rays.
+
+    origins/directions (..., 3) world; lengths (...,); returns
+    (inscatter (..., 3), transmittance (..., 3))."""
+    steps = s.num_ray_march_steps
+    ds = lengths / steps                                  # (...,)
+    cos_theta = jnp.sum(directions * (-sun_dir), axis=-1)  # view·to-sun
+    ph_r = phase_rayleigh(cos_theta)[..., None]
+    ph_m = phase_mie(cos_theta, s.mie_g)[..., None]
+
+    def altitude(p):
+        return (s.base_altitude + p[..., 1] * s.scene_scale)
+
+    def body(i, carry):
+        inscatter, tau_r, tau_m = carry
+        t = (i + 0.5) * ds
+        p = origins + directions * t[..., None]
+        h = altitude(p)
+        dr, dm = _density(h)
+        seg_r = dr * ds * s.scene_scale
+        seg_m = dm * ds * s.scene_scale
+        tau_r = tau_r + seg_r
+        tau_m = tau_m + seg_m
+        # transmittance camera→sample
+        t_cam = jnp.exp(-(BETA_RAYLEIGH * tau_r[..., None]
+                          + BETA_MIE_EXT * tau_m[..., None]))
+        # transmittance sample→sun from the LUT
+        cos_z = -sun_dir[1]
+        t_sun = _transmittance_to_sun(lut, h, jnp.broadcast_to(cos_z, h.shape))
+        vis = 1.0
+        if shadow_fn is not None:
+            vis = shadow_fn(p)[..., None]
+        scatter = (BETA_RAYLEIGH * dr[..., None] * ph_r
+                   + BETA_MIE * dm[..., None] * ph_m)
+        inscatter = inscatter + (t_cam * t_sun * scatter * vis
+                                 * (ds * s.scene_scale)[..., None])
+        return inscatter, tau_r, tau_m
+
+    shape = lengths.shape
+    init = (jnp.zeros(shape + (3,)), jnp.zeros(shape), jnp.zeros(shape))
+    inscatter, tau_r, tau_m = jax.lax.fori_loop(0, steps, body, init)
+    trans = jnp.exp(-(BETA_RAYLEIGH * tau_r[..., None]
+                      + BETA_MIE_EXT * tau_m[..., None]))
+    return inscatter * s.sun_intensity, trans
+
+
+def _epipolar_grid(light_uv: Array, num_slices: int, num_samples: int):
+    """Slice endpoints on the screen border + sample uv grid
+    (slices, samples, 2) — the GenerateSliceEndpoints / coordinate texture."""
+    a = (jnp.arange(num_slices) + 0.5) / num_slices * 2.0 * PI
+    d = jnp.stack([jnp.cos(a), jnp.sin(a)], axis=-1)       # (S, 2)
+    # exit parameter to the [0,1]² border from light_uv along d
+    eps = 1e-6
+    tx = jnp.where(d[:, 0] > 0, (1.0 - light_uv[0]) / jnp.maximum(d[:, 0], eps),
+                   jnp.where(d[:, 0] < 0, (0.0 - light_uv[0]) / jnp.minimum(d[:, 0], -eps),
+                             jnp.inf))
+    ty = jnp.where(d[:, 1] > 0, (1.0 - light_uv[1]) / jnp.maximum(d[:, 1], eps),
+                   jnp.where(d[:, 1] < 0, (0.0 - light_uv[1]) / jnp.minimum(d[:, 1], -eps),
+                             jnp.inf))
+    t_end = jnp.minimum(tx, ty)
+    ends = light_uv[None, :] + d * t_end[:, None]          # (S, 2)
+    f = ((jnp.arange(num_samples) + 0.5) / num_samples)[None, :, None]
+    grid = light_uv[None, None, :] * (1.0 - f) + ends[:, None, :] * f
+    return grid, ends
+
+
+class EpipolarOutput(NamedTuple):
+    color: Array          # (H, W, 3) scene with inscattering applied
+    inscatter: Array      # (H, W, 3)
+    transmittance: Array  # (H, W, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("settings_static",))
+def _apply_impl(color, depth, camera, sun_dir, sun_intensity_rgb, lut,
+                settings, shadow_data, *, settings_static):
+    num_slices, num_samples, _steps = settings_static
+    h, w = depth.shape
+    # rebind the structural ints as Python values (they arrive traced in the
+    # settings pytree; loop/grid sizes must be static)
+    s = settings._replace(num_epipolar_slices=num_slices,
+                          max_samples_in_slice=num_samples,
+                          num_ray_march_steps=_steps)
+
+    # light projection to uv space
+    sun_clip = m3.transform_points(camera.position - sun_dir * 1e4,
+                                   camera.view_proj)
+    sun_w = jnp.where(jnp.abs(sun_clip[3]) < 1e-6, 1e-6, sun_clip[3])
+    sun_ndc = sun_clip[:2] / sun_w
+    behind = sun_clip[3] < 0
+    light_uv = jnp.stack([sun_ndc[0] * 0.5 + 0.5, 0.5 - sun_ndc[1] * 0.5])
+    light_uv = jnp.where(behind, light_uv * -10.0, light_uv)  # push off-screen
+
+    grid_uv, _ = _epipolar_grid(light_uv, num_slices, num_samples)
+
+    # per-epipolar-sample ray setup from the depth buffer
+    d_smp = bilinear_sample(depth[..., None], grid_uv)[..., 0]
+    world = _uv_depth_to_world(grid_uv, d_smp, camera)
+    origins = jnp.broadcast_to(camera.position, world.shape)
+    delta = world - origins
+    lengths = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-8))
+    dirs = delta / lengths[..., None]
+
+    shadow_fn = None
+    if shadow_data is not None:
+        att, smaps = shadow_data
+
+        def shadow_fn(p):  # noqa: F811
+            from diligentfx_tpu.components.shadow_map_manager import (
+                CascadeSamplingInfo, find_cascade, filter_shadow_pcf)
+            plv = m3.transform_points(p, att.world_to_light_view)[..., :3]
+            cam_z = -m3.transform_points(p, camera.view)[..., 2]
+            info = find_cascade(att, plv, cam_z)
+            lit = filter_shadow_pcf(smaps, info, 2, depth_bias=1e-3)
+            return jnp.where(info.in_any, lit, 1.0)
+
+    inscatter_e, trans_e = _inscatter_march(lut, origins, dirs, lengths,
+                                            sun_dir, s, shadow_fn)
+
+    # ---- unwarp epipolar → screen (depth-break-aware bilinear) -------------
+    xg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
+    yg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
+    duv = jnp.stack([xg, yg], axis=-1) - light_uv
+    ang = jnp.mod(jnp.arctan2(duv[..., 1], duv[..., 0]), 2.0 * PI)
+    slice_f = ang / (2.0 * PI) * num_slices - 0.5
+    # sample coordinate: radial fraction toward this slice's border exit
+    _, ends = _epipolar_grid(light_uv, num_slices, num_samples)
+    s0 = jnp.floor(slice_f).astype(jnp.int32) % num_slices
+    s1 = (s0 + 1) % num_slices
+    sf = (slice_f - jnp.floor(slice_f))[..., None]
+
+    def frac_along(slice_idx):
+        end = ends[slice_idx]                               # (H, W, 2)
+        seg = end - light_uv
+        seg_len2 = jnp.maximum(jnp.sum(seg * seg, -1), 1e-9)
+        return jnp.clip(jnp.sum(duv * seg, -1) / seg_len2, 0.0, 1.0)
+
+    cam_z_px = depth_to_camera_z(depth, camera)
+
+    def gather_slice(slice_idx, f):
+        smp_f = f * num_samples - 0.5
+        i0 = jnp.clip(jnp.floor(smp_f).astype(jnp.int32), 0, num_samples - 1)
+        i1 = jnp.minimum(i0 + 1, num_samples - 1)
+        wf = (smp_f - i0.astype(jnp.float32))[..., None]
+
+        def tap(ii):
+            ins = inscatter_e[slice_idx, ii]
+            tr = trans_e[slice_idx, ii]
+            dz = depth_to_camera_z(d_smp[slice_idx, ii], camera)
+            return ins, tr, dz
+
+        a_ins, a_tr, a_z = tap(i0)
+        b_ins, b_tr, b_z = tap(i1)
+        # depth-break correction: discount taps whose depth differs strongly
+        wa = (1.0 - wf[..., 0]) * jnp.exp(-jnp.abs(a_z - cam_z_px) / (0.2 * cam_z_px + 1.0))
+        wb = wf[..., 0] * jnp.exp(-jnp.abs(b_z - cam_z_px) / (0.2 * cam_z_px + 1.0))
+        tot = jnp.maximum(wa + wb, 1e-6)[..., None]
+        return ((a_ins * wa[..., None] + b_ins * wb[..., None]) / tot,
+                (a_tr * wa[..., None] + b_tr * wb[..., None]) / tot)
+
+    f0 = frac_along(s0)
+    f1 = frac_along(s1)
+    ins0, tr0 = gather_slice(s0, f0)
+    ins1, tr1 = gather_slice(s1, f1)
+    inscatter = ins0 + (ins1 - ins0) * sf
+    trans = tr0 + (tr1 - tr0) * sf
+
+    # ---- sun disk (RenderSun analogue) --------------------------------------
+    ray = _pixel_rays(camera, w, h)
+    cos_sun = jnp.sum(ray * (-sun_dir), axis=-1)
+    sky = depth >= 0.9999
+    disk = jnp.clip((cos_sun - jnp.cos(s.sun_angular_radius))
+                    / (1.0 - jnp.cos(s.sun_angular_radius)) * 4.0, 0.0, 1.0)
+    sun_rgb = sun_intensity_rgb * s.sun_intensity
+    sun = (disk * sky.astype(jnp.float32))[..., None] * sun_rgb
+
+    out = color * trans + inscatter * sun_intensity_rgb + sun * trans
+    return EpipolarOutput(color=out, inscatter=inscatter, transmittance=trans)
+
+
+def apply_light_scattering(color: Array, depth: Array, camera: CameraAttribs,
+                           sun_dir, lut: Array,
+                           settings: EpipolarSettings = EpipolarSettings(),
+                           sun_intensity_rgb=(1.0, 0.96, 0.90),
+                           shadow_data=None) -> EpipolarOutput:
+    """Full effect (PrepareForNewFrame + PerformPostProcessing + RenderSun,
+    EpipolarLightScattering.cpp:2099-2789)."""
+    sun_dir = m3.normalize(jnp.asarray(sun_dir, jnp.float32))
+    static = (settings.num_epipolar_slices, settings.max_samples_in_slice,
+              settings.num_ray_march_steps)
+    return _apply_impl(color, depth, camera, sun_dir,
+                       jnp.asarray(sun_intensity_rgb, jnp.float32), lut,
+                       settings, shadow_data, settings_static=static)
+
+
+def _uv_depth_to_world(uv: Array, depth: Array, camera: CameraAttribs) -> Array:
+    ndc = jnp.stack([uv[..., 0] * 2.0 - 1.0, 1.0 - uv[..., 1] * 2.0,
+                     depth, jnp.ones_like(depth)], axis=-1)
+    world = jnp.einsum("...i,ij->...j", ndc, camera.view_proj_inv,
+                       precision=jax.lax.Precision.HIGHEST)
+    return world[..., :3] / world[..., 3:4]
+
+
+def _pixel_rays(camera: CameraAttribs, width: int, height: int) -> Array:
+    from diligentfx_tpu.pbr.renderer import _camera_rays
+    return _camera_rays(camera, width, height)

@@ -1,0 +1,97 @@
+"""Epipolar light scattering: atmosphere LUT, inscattering, god rays."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diligentfx_tpu import math3d as m3
+from diligentfx_tpu.attribs import CameraAttribs
+from diligentfx_tpu.postfx.epipolar import (
+    EpipolarSettings, apply_light_scattering, phase_mie, phase_rayleigh,
+    precompute_optical_depth_lut)
+
+H, W = 64, 64
+SMALL = EpipolarSettings(num_epipolar_slices=64, max_samples_in_slice=32,
+                         num_ray_march_steps=16)
+
+
+def make_camera(eye=(0, 2, 0), target=(0, 2, -10)):
+    view = m3.look_at(list(eye), list(target))
+    proj = m3.perspective(1.2, W / H, 0.5, 2000.0)
+    return CameraAttribs.create(view, proj, list(eye), 0.5, 2000.0, W, H)
+
+
+@pytest.fixture(scope="module")
+def lut():
+    return precompute_optical_depth_lut(32, 64, 32)
+
+
+def test_optical_depth_lut_monotonic(lut):
+    a = np.asarray(lut)
+    assert np.isfinite(a).all() and (a >= 0).all()
+    # more atmosphere toward the horizon (cos→0.0+) than straight up (cos→1)
+    ground = a[0]  # altitude 0 row
+    up = ground[-1, 0]      # cos=+1
+    horiz = ground[33, 0]   # cos≈0+
+    assert horiz > up * 3
+
+
+def test_phase_functions_normalized():
+    # ∫ phase dω = 1 over the sphere (MC check)
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.uniform(-1, 1, 200_000), jnp.float32)
+    pr = float(jnp.mean(phase_rayleigh(c)) * 4 * np.pi)
+    pm = float(jnp.mean(phase_mie(c, jnp.float32(0.76))) * 4 * np.pi)
+    assert abs(pr - 1.0) < 0.02
+    assert abs(pm - 1.0) < 0.1
+
+
+def test_sky_inscatter_and_sun_disk(lut):
+    cam = make_camera()
+    color = jnp.zeros((H, W, 3))
+    depth = jnp.ones((H, W))          # all sky
+    sun_dir = m3.normalize(jnp.array([0.0, -0.3, -1.0]))  # sun ahead, lowish
+    out = apply_light_scattering(color, depth, cam, sun_dir, lut, SMALL)
+    a = np.asarray(out.color)
+    assert np.isfinite(a).all()
+    assert a.max() > 0.01              # sky is lit
+    ins = np.asarray(out.inscatter)
+    # blue-dominant sky away from the sun (Rayleigh)
+    corner = ins[-4, 4]
+    assert corner[2] >= corner[0] * 0.8
+    # transmittance through the whole atmosphere is < 1
+    assert np.asarray(out.transmittance).max() < 1.0
+
+
+def test_god_rays_shadowing(lut):
+    """With a cascaded shadow blocker, shadowed rays carry less inscatter."""
+    from diligentfx_tpu.components.shadow_map_manager import (
+        distribute_cascades, render_cascade_shadow_maps)
+    from diligentfx_tpu.config import RasterizerConfig
+    from diligentfx_tpu.gltf.primitives import cube, transform_mesh
+    import numpy as _np
+
+    cam = make_camera()
+    sun_dir = m3.normalize(jnp.array([0.0, -0.5, -1.0]))
+    # big blocker above and ahead
+    c = cube(30.0)
+    lift = _np.eye(4, dtype=_np.float32)
+    lift[3, :3] = [0.0, 25.0, -30.0]
+    c = transform_mesh(c, lift)
+    att = distribute_cascades(cam.view, m3.inverse(cam.view),
+                              float(cam.proj[0, 0]), float(cam.proj[1, 1]),
+                              0.5, 200.0, sun_dir, num_cascades=2,
+                              shadow_map_size=128)
+    cfg = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=64,
+                           max_tiles_per_tri=8, big_tri_capacity=32, chunk=8)
+    smaps = render_cascade_shadow_maps(jnp.asarray(c.positions),
+                                       jnp.asarray(c.indices), att,
+                                       shadow_map_size=128, cfg=cfg)
+    color = jnp.zeros((H, W, 3))
+    depth = jnp.full((H, W), 0.99)     # distant ground everywhere
+    out_lit = apply_light_scattering(color, depth, cam, sun_dir, lut, SMALL)
+    out_shadow = apply_light_scattering(color, depth, cam, sun_dir, lut, SMALL,
+                                        shadow_data=(att, smaps))
+    lit = float(np.asarray(out_lit.inscatter).mean())
+    shd = float(np.asarray(out_shadow.inscatter).mean())
+    assert np.isfinite(shd)
+    assert shd < lit * 0.9, (shd, lit)
