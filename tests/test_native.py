@@ -1,0 +1,79 @@
+"""Native runtime module: hashing, pool suballocation, triangulation, batching.
+Tests run against the C++ library when g++ built it, else the Python fallback —
+both must behave identically."""
+import numpy as np
+import pytest
+
+from diligentfx_tpu.native import binding
+
+
+def test_native_builds():
+    # On this image the toolchain exists; the native path should be live.
+    assert binding.available()
+
+
+def test_content_hash_stability_and_sensitivity():
+    a = np.arange(1000, dtype=np.float32)
+    h1 = binding.content_hash(a)
+    h2 = binding.content_hash(a.copy())
+    assert h1 == h2 and len(h1) == 16
+    b = a.copy()
+    b[500] += 1e-3
+    assert binding.content_hash(b) != h1
+    # dtype/shape sensitivity
+    assert binding.content_hash(a.reshape(10, 100)) != h1
+    assert binding.content_hash(a.astype(np.float64)) != h1
+
+
+def test_geometry_pool_alloc_free_coalesce():
+    p = binding.GeometryPool(1024)
+    a = p.alloc(100, alignment=16)
+    b = p.alloc(200, alignment=16)
+    c = p.alloc(300, alignment=16)
+    assert a == 0 and b % 16 == 0 and c % 16 == 0
+    assert len({a, b, c}) == 3
+    cap, used, peak, frags = p.stats()
+    assert cap == 1024 and used == 600
+    p.free(b)
+    cap, used, peak, frags = p.stats()
+    assert used == 400 and peak == 600
+    # freed region is reusable
+    d = p.alloc(200, alignment=16)
+    assert d == b
+    # full coalescing back to one block
+    for off in (a, c, d):
+        p.free(off)
+    cap, used, peak, frags = p.stats()
+    assert used == 0 and frags == 1
+    # exhaustion
+    big = p.alloc(2048)
+    assert big == -1
+    # freeing an un-allocated offset is an error in both implementations
+    with pytest.raises(KeyError):
+        binding.GeometryPool(64).free(32)
+
+
+def test_triangulate_faces():
+    # one quad + one pentagon + one triangle
+    counts = np.array([4, 5, 3], np.int32)
+    indices = np.array([0, 1, 2, 3,  4, 5, 6, 7, 8,  9, 10, 11], np.int32)
+    tris = binding.triangulate_faces(counts, indices)
+    assert tris.shape == (2 + 3 + 1, 3)
+    np.testing.assert_array_equal(tris[0], [0, 1, 2])
+    np.testing.assert_array_equal(tris[1], [0, 2, 3])
+    np.testing.assert_array_equal(tris[2], [4, 5, 6])
+    np.testing.assert_array_equal(tris[-1], [9, 10, 11])
+
+
+def test_build_draw_batches():
+    keys = np.array([3, 1, 3, 2, 1, 1, 3], np.uint64)
+    order, starts, counts = binding.build_draw_batches(keys)
+    sorted_keys = keys[order]
+    assert (np.diff(sorted_keys.astype(np.int64)) >= 0).all()
+    # stable within equal keys
+    assert list(order[:3]) == [1, 4, 5]      # the three 1-keys in order
+    assert list(counts) == [3, 1, 3]
+    assert list(starts) == [0, 3, 4]
+    # max_batch splits runs
+    _, s2, c2 = binding.build_draw_batches(keys, max_batch=2)
+    assert list(c2) == [2, 1, 1, 2, 1]
