@@ -143,17 +143,24 @@ def _clip_near_plane(clip: Array, indices: Array, eps: float):
 
 
 def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
-                    double_sided, front_ccw: bool, near_eps: float):
+                    double_sided, front_ccw: bool, near_eps: float,
+                    screen_size=None, screen_offset=(0, 0)):
     """Near-clip + raster setup.
+
+    screen_size/screen_offset support viewport bands for multi-chip tile
+    sharding (parallel/tiling.py): NDC maps to the FULL screen_size, then
+    shifts by screen_offset so rows [offset, offset+height) land locally.
 
     Returns (setup (2T, 16) — see _SETUP_DIM, valid (2T,),
              bbox (2T, 4) [xmin,ymin,xmax,ymax], orig_id (2T,))."""
     verts, barys, alive, orig = _clip_near_plane(clip, indices, near_eps)
+    full_w, full_h = screen_size if screen_size is not None else (width, height)
+    off_x, off_y = screen_offset
 
     w = verts[..., 3]
     winv = 1.0 / jnp.maximum(w, near_eps * 0.5)
-    sx = (verts[..., 0] * winv * 0.5 + 0.5) * width
-    sy = (0.5 - verts[..., 1] * winv * 0.5) * height
+    sx = (verts[..., 0] * winv * 0.5 + 0.5) * full_w - off_x
+    sy = (0.5 - verts[..., 1] * winv * 0.5) * full_h - off_y
     sz = verts[..., 2] * winv
 
     x0, y0 = sx[:, 0], sy[:, 0]
@@ -394,7 +401,9 @@ def rasterize(clip: Array, indices: Array, *, width: int, height: int,
               front_ccw: bool = True,
               depth_less: bool = True,
               near_eps: float = 1e-3,
-              backend: str = "auto") -> Tuple[VisibilityBuffer, RasterStats]:
+              backend: str = "auto",
+              screen_size=None,
+              screen_offset=(0, 0)) -> Tuple[VisibilityBuffer, RasterStats]:
     """Rasterize triangles to a visibility buffer.
 
     Args:
@@ -413,7 +422,8 @@ def rasterize(clip: Array, indices: Array, *, width: int, height: int,
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     depth_clear = jnp.inf if depth_less else -jnp.inf
     setup, valid, bbox, _orig = _triangle_setup(
-        clip, indices, width, height, double_sided, front_ccw, near_eps)
+        clip, indices, width, height, double_sided, front_ccw, near_eps,
+        screen_size=screen_size, screen_offset=screen_offset)
     candidates, compact, counts, max_count, overflow, big_overflow = _bin_triangles(
         valid, bbox, width, height, cfg)
     if backend == "pallas":

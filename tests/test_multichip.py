@@ -1,0 +1,89 @@
+"""Multi-chip band-sharded rendering on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from diligentfx_tpu import math3d as m3
+from diligentfx_tpu.attribs import (CameraAttribs, PBRLightAttribs,
+                                    PBRMaterialBasicAttribs,
+                                    PBRRendererShaderParameters)
+from diligentfx_tpu.config import PBRRendererCreateInfo, RasterizerConfig
+from diligentfx_tpu.gltf.primitives import plane, uv_sphere
+from diligentfx_tpu.parallel.mesh import band_halo_exchange, make_render_mesh
+from diligentfx_tpu.parallel.tiling import render_forward_banded
+from diligentfx_tpu.pbr.renderer import PBRRenderer, RenderInfo, build_scene
+
+W, H = 128, 128
+CFG = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=512,
+                       max_tiles_per_tri=16, big_tri_capacity=16, chunk=8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    renderer = PBRRenderer(PBRRendererCreateInfo(
+        brdf_lut_dim=16, num_brdf_samples=8, irradiance_cube_dim=16,
+        prefiltered_env_map_dim=16, num_specular_env_samples=8),
+        raster_cfg=CFG)
+    sphere = uv_sphere(0.8, 10, 14)
+    g = plane(20.0)
+    gn = np.eye(4, dtype=np.float32)
+    gn[3, 1] = -1.0
+    scene = build_scene([
+        (sphere, np.eye(4, dtype=np.float32),
+         PBRMaterialBasicAttribs.create(base_color_factor=(0.8, 0.2, 0.2, 1),
+                                        metallic_factor=0.4,
+                                        roughness_factor=0.3)),
+        (g, gn, PBRMaterialBasicAttribs.create(
+            base_color_factor=(0.4, 0.4, 0.45, 1), roughness_factor=0.7)),
+    ])
+    eye = [0.0, 1.5, 5.0]
+    cam = CameraAttribs.create(m3.look_at(eye, [0, 0, 0]),
+                               m3.perspective(0.9, 1.0, 0.1, 50.0),
+                               eye, 0.1, 50.0, W, H)
+    lights = PBRLightAttribs.directional([-0.4, -1.0, -0.3], [3, 3, 3])
+    info = RenderInfo(camera=cam, lights=lights,
+                      renderer_params=PBRRendererShaderParameters.create())
+    return renderer, scene, info
+
+
+def test_banded_matches_single_device(setup):
+    renderer, scene, info = setup
+    mesh = make_render_mesh(8, dp=1, sp=8)
+    banded = render_forward_banded(scene, info, renderer.ibl_maps,
+                                   renderer.env_oct, mesh,
+                                   width=W, height=H, cfg=CFG)
+    assert banded.shape == (H, W, 3)
+
+    # single-device reference through the same code path (1-band mesh)
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("dp", "sp"))
+    single = render_forward_banded(scene, info, renderer.ibl_maps,
+                                   renderer.env_oct, mesh1,
+                                   width=W, height=H, cfg=CFG)
+    a, b = np.asarray(banded), np.asarray(single)
+    assert np.isfinite(a).all()
+    # band-offset arithmetic reassociates screen coords → tiny fp deltas
+    mismatch = np.abs(a - b).max()
+    assert mismatch < 1e-3, mismatch
+
+
+def test_halo_exchange_bands():
+    mesh = make_render_mesh(8, dp=1, sp=8)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    img = jnp.arange(64 * 16, dtype=jnp.float32).reshape(64, 16)
+
+    def f(band):
+        padded = band_halo_exchange(band, halo=2)
+        return padded
+
+    out = shard_map(f, mesh=mesh, in_specs=P("sp", None),
+                    out_specs=P("sp", None), check_rep=False)(img)
+    # each 8-row band becomes 12 rows; verify interior band 1 got band 0 rows
+    out = np.asarray(out).reshape(8, 12, 16)
+    np.testing.assert_allclose(out[1, :2], np.asarray(img)[6:8])   # from above
+    np.testing.assert_allclose(out[1, 2:10], np.asarray(img)[8:16])
+    np.testing.assert_allclose(out[1, 10:], np.asarray(img)[16:18])  # from below
+    # edge band 0 has zero top halo
+    np.testing.assert_allclose(out[0, :2], 0.0)
