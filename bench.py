@@ -92,7 +92,8 @@ def main():
         enable_ssr=True, ssr_half_resolution=True,
         enable_taa=True, enable_bloom=True, enable_dof=False,
         taa_feature_flags=(TAAFeatureFlags.YCOCG_COLOR_SPACE
-                           | TAAFeatureFlags.GAUSSIAN_WEIGHTING)))
+                           | TAAFeatureFlags.GAUSSIAN_WEIGHTING
+                           | (0 if args.smoke else TAAFeatureFlags.PALLAS_WARP))))
 
     eye = [0.0, 1.0, 7.5]
     view = m3.look_at(eye, [0.0, 0.0, 0.0])

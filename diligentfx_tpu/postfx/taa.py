@@ -24,6 +24,10 @@ class TAAFeatureFlags:
     GAUSSIAN_WEIGHTING = 1 << 0
     BICUBIC_FILTER = 1 << 1
     YCOCG_COLOR_SPACE = 1 << 2
+    # TPU fast path: history reprojection through the Pallas windowed-warp
+    # kernel (ops/warp_pallas.py, ~7x faster than XLA gathers; motion clamped
+    # to the kernel halo of ±8 rows / ±64 columns)
+    PALLAS_WARP = 1 << 3
 
 
 class TAASettings(NamedTuple):
@@ -129,11 +133,22 @@ def taa_accumulate(color: Array, state: Optional[TAAState],
     y = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
     prev_uv = jnp.stack([x, y], axis=-1) - resources.closest_motion
 
-    if feature_flags & TAAFeatureFlags.BICUBIC_FILTER:
+    if feature_flags & TAAFeatureFlags.PALLAS_WARP:
+        from diligentfx_tpu.ops.warp_pallas import warp_bilinear_pallas
+        off_px = -resources.closest_motion * jnp.array([w, h], jnp.float32)
+        packed = jnp.concatenate([state.color,
+                                  state.sample_count[..., None]], axis=-1)
+        warped = warp_bilinear_pallas(packed, off_px, halo_r=8, halo_c=64)
+        hist = warped[..., :3]
+        hist_count = warped[..., 3]
+    elif feature_flags & TAAFeatureFlags.BICUBIC_FILTER:
         hist = _sample_history_catmull_rom(state.color, prev_uv)
+        hist_count = _sample_history_bilinear(state.sample_count[..., None],
+                                              prev_uv)[..., 0]
     else:
         hist = _sample_history_bilinear(state.color, prev_uv)
-    hist_count = _sample_history_bilinear(state.sample_count[..., None], prev_uv)[..., 0]
+        hist_count = _sample_history_bilinear(state.sample_count[..., None],
+                                              prev_uv)[..., 0]
 
     in_bounds = ((prev_uv[..., 0] >= 0.0) & (prev_uv[..., 0] <= 1.0)
                  & (prev_uv[..., 1] >= 0.0) & (prev_uv[..., 1] <= 1.0))
