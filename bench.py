@@ -89,6 +89,7 @@ def main():
     tm = HnTaskManager(renderer, TaskManagerCreateInfo(
         enable_ssao=True, ssao_half_resolution=True,
         ssao_num_slices=2, ssao_num_steps=4,
+        ssao_use_pallas=not args.smoke,
         enable_ssr=True, ssr_half_resolution=True,
         enable_taa=True, enable_bloom=True, enable_dof=False,
         taa_feature_flags=(TAAFeatureFlags.YCOCG_COLOR_SPACE

@@ -76,6 +76,7 @@ class TaskManagerCreateInfo:
                               | fx_taa.TAAFeatureFlags.GAUSSIAN_WEIGHTING)
     ssao_num_slices: int = 3
     ssao_num_steps: int = 6
+    ssao_use_pallas: bool = False   # gather-free tap path (TPU only)
 
 
 class FrameSettings(NamedTuple):
@@ -197,7 +198,8 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
             gb.depth, gb.normal_view, info.camera, state.frame_index,
             settings.ssao, state=state.ssao, motion=gb.motion,
             half_resolution=ci.ssao_half_resolution,
-            num_slices=ci.ssao_num_slices, num_steps=ci.ssao_num_steps)
+            num_slices=ci.ssao_num_slices, num_steps=ci.ssao_num_steps,
+            use_pallas=ci.ssao_use_pallas)
         ao = 1.0 - (1.0 - ao) * ci.ssao_scale
 
     # ---- SSR -----------------------------------------------------------------

@@ -60,8 +60,8 @@ def _warp_kernel(img_hbm, offy_ref, offx_ref, out_ref, scratch, sem,
     px = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
     sy = py + (y0 - ry).astype(jnp.float32) + oy           # window row coords
     sx = px + (x0 - rx).astype(jnp.float32) + ox
-    sy = jnp.clip(sy, 0.0, win_h - 1.001)
-    sx = jnp.clip(sx, 0.0, win_w - 1.001)
+    sy = jnp.clip(sy, 0.0, win_h - 1.0)
+    sx = jnp.clip(sx, 0.0, win_w - 1.0)
     yi = jnp.floor(sy).astype(jnp.int32)
     xi = jnp.floor(sx).astype(jnp.int32)
     fy = sy - yi.astype(jnp.float32)
@@ -113,16 +113,21 @@ def warp_bilinear_pallas(img: Array, offset_px: Array, *,
         img = img[..., None]
     h, w, c = img.shape
     assert h % TILE_H == 0 and w % TILE_W == 0, (h, w)
+    assert halo_c % 64 == 0, "halo_c must be a multiple of 64"
+    assert halo_r % TILE_H == 0, "halo_r must be a multiple of 8"
+    # shrink halos for images smaller than the window
+    halo_r = min(halo_r, (h - TILE_H) // 2 // TILE_H * TILE_H)
+    halo_c = min(halo_c, (w - TILE_W) // 2 // 64 * 64)
     tiles_x = w // TILE_W
     tiles_y = h // TILE_H
     num_tiles = tiles_x * tiles_y
     win_h = TILE_H + 2 * halo_r
     win_w = TILE_W + 2 * halo_c
-    assert win_w % TILE_W == 0, "halo_c must be a multiple of 64"
-    assert halo_r % TILE_H == 0, "halo_r must be a multiple of 8"
 
-    ox = jnp.clip(offset_px[..., 0], -halo_c + 1.0, halo_c - 1.0)
-    oy = jnp.clip(offset_px[..., 1], -halo_r + 1.0, halo_r - 1.0)
+    cx = max(halo_c - 1.0, 0.0)
+    cy = max(halo_r - 1.0, 0.0)
+    ox = jnp.clip(offset_px[..., 0], -cx, cx)
+    oy = jnp.clip(offset_px[..., 1], -cy, cy)
     # tile the offsets to (tiles, 8, 128)
     def tile3(x):
         return (x.reshape(tiles_y, TILE_H, tiles_x, TILE_W)

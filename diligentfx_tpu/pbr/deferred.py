@@ -277,6 +277,13 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         spec_factor = jnp.zeros_like(base_color)
 
     direct = lighting.base.punctual + shading.emissive
+    # unlit workflow (PBR_WORKFLOW_UNLIT, RenderPBR.psh UNSHADED path):
+    # final color is the base color, no lighting terms
+    unlit = (mats.workflow[mat_id] == sh.PBR_WORKFLOW_UNLIT)[..., None]
+    direct = jnp.where(unlit, base_color, direct)
+    amb_d = jnp.where(unlit, 0.0, amb_d)
+    amb_s = jnp.where(unlit, 0.0, amb_s)
+    spec_factor = jnp.where(unlit, 0.0, spec_factor)
     # fold extension layers into the direct / ambient-specular split,
     # matching ResolveLighting's composition (PBR_Shading.fxh:847-879)
     if sheen is not None and lighting.sheen is not None:

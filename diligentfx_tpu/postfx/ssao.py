@@ -55,9 +55,30 @@ def view_space_normal_from_depth(depth: Array, camera: CameraAttribs) -> Array:
     return normalize(n)
 
 
+def _tap_depth(depth: Array, off_x: Array, off_y: Array,
+               use_pallas: bool) -> Array:
+    """Sample depth at (pixel + offset px): XLA bilinear gathers, or the
+    gather-free Pallas windowed warp (offsets clamp to the kernel halo)."""
+    h, w = depth.shape
+    if use_pallas:
+        from diligentfx_tpu.ops.warp_pallas import TILE_H, TILE_W, warp_bilinear_pallas
+        pad_h = (-h) % TILE_H
+        pad_w = (-w) % TILE_W
+        d = jnp.pad(depth, ((0, pad_h), (0, pad_w)), mode="edge")
+        off = jnp.pad(jnp.stack([off_x, off_y], axis=-1),
+                      ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+        out = warp_bilinear_pallas(d, off, halo_r=24, halo_c=64)
+        return out[:h, :w]
+    xi = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5)
+    yi = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5)
+    uv = jnp.stack([(xi + off_x) / w, (yi + off_y) / h], axis=-1)
+    return bilinear_sample(depth[..., None], uv)[..., 0]
+
+
 def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                  frame_index, settings: SSAOSettings = SSAOSettings(),
-                 num_slices: int = 3, num_steps: int = 6) -> Array:
+                 num_slices: int = 3, num_steps: int = 6,
+                 use_pallas: bool = False) -> Array:
     """GTAO horizon-slice integral (the SSAO ComputeAO pass).
 
     depth: (H, W) NDC depth; normal_vs: (H, W, 3) view-space normal.
@@ -112,10 +133,15 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                 t = (step + 0.5 + 0.5 * noise) / num_steps
                 t = t * t                                      # denser near center
                 off = dir_px * (sgn * t * radius_px)[..., None]
+                if use_pallas:
+                    # keep the reconstruction position consistent with the
+                    # warp kernel's halo clamp
+                    off = jnp.stack([jnp.clip(off[..., 0], -63.0, 63.0),
+                                     jnp.clip(off[..., 1], -23.0, 23.0)], -1)
+                d = _tap_depth(depth, off[..., 0], off[..., 1], use_pallas)
                 su = (xi + off[..., 0]) / w
                 sv = (yi + off[..., 1]) / h
                 uv = jnp.stack([su, sv], axis=-1)
-                d = bilinear_sample(depth[..., None], uv)[..., 0]
                 sp = _uv_depth_to_view(uv, d, camera)
                 delta = sp - pos
                 dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-10))
@@ -176,8 +202,8 @@ def apply_ssao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                state: Optional[SSAOState] = None,
                motion: Optional[Array] = None,
                half_resolution: bool = True,
-               num_slices: int = 3, num_steps: int = 6
-               ) -> Tuple[Array, SSAOState]:
+               num_slices: int = 3, num_steps: int = 6,
+               use_pallas: bool = False) -> Tuple[Array, SSAOState]:
     """Full SSAO effect (PrepareResources+Execute): AO compute (optionally at
     half res), bilateral denoise, temporal accumulation, upsample."""
     h, w = depth.shape
@@ -185,12 +211,12 @@ def apply_ssao(depth: Array, normal_vs: Array, camera: CameraAttribs,
         d2 = depth[::2, ::2]
         n2 = normal_vs[::2, ::2]
         ao = compute_gtao(d2, n2, camera, frame_index, settings,
-                          num_slices, num_steps)
+                          num_slices, num_steps, use_pallas=use_pallas)
         ao = bilateral_blur(ao, d2, camera)
         ao = jax.image.resize(ao, (h, w), method="bilinear")
     else:
         ao = compute_gtao(depth, normal_vs, camera, frame_index, settings,
-                          num_slices, num_steps)
+                          num_slices, num_steps, use_pallas=use_pallas)
         ao = bilateral_blur(ao, depth, camera)
 
     if state is not None and motion is not None:
