@@ -174,7 +174,8 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
         shadow_mode = ci.shadow_mode
 
     # ---- Main pass: G-buffer -------------------------------------------------
-    gb = render_gbuffer(scene, info, ibl_maps, env_oct,
+    with jax.named_scope("hn.render_rprims"):
+        gb = render_gbuffer(scene, info, ibl_maps, env_oct,
                         width=width, height=height, cfg=cfg,
                         use_ibl=use_ibl, use_lights=True,
                         shadow_mode=shadow_mode,

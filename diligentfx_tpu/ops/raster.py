@@ -265,9 +265,20 @@ def _bin_triangles(valid: Array, bbox: Array, width: int, height: int,
     flat_tri = pair_tri.reshape(-1)
     # Stable sort by tile keeps triangle submission order within a tile —
     # the rasterizer's tie-break is then deterministic draw order.
-    order = jnp.argsort(flat_tile, stable=True)
-    sorted_tile = flat_tile[order]
-    sorted_tri = flat_tri[order]
+    # When (tile, prim) packs into one int32, a single-key sort is ~2x
+    # cheaper than argsort+gather (prim id in the low bits preserves
+    # submission order within a tile, so stability is implied).
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    tri_bits = max(int(t).bit_length(), 1)
+    if tile_bits + tri_bits <= 31:
+        packed = (flat_tile << tri_bits) | flat_tri
+        packed = jnp.sort(packed)
+        sorted_tile = packed >> tri_bits
+        sorted_tri = packed & ((1 << tri_bits) - 1)
+    else:
+        order = jnp.argsort(flat_tile, stable=True)
+        sorted_tile = flat_tile[order]
+        sorted_tri = flat_tri[order]
 
     counts = jax.ops.segment_sum(
         jnp.ones_like(flat_tile), flat_tile, num_segments=num_tiles + 1

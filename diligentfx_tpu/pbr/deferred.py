@@ -101,10 +101,25 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     tid = jnp.maximum(vb.tri_id, 0)
     mat_id = scene.tri_material[tid]
     mats = scene.materials
-    base_color = mats.base_color_factor[mat_id][..., :3]
-    metallic = mats.metallic_factor[mat_id][..., None]
-    roughness = mats.roughness_factor[mat_id][..., None]
-    emissive = mats.emissive_factor[mat_id]
+    # one aligned (M, 16) material table → ONE per-pixel row gather instead
+    # of one gather per field (gathers are the TPU cost unit, PERF_NOTES.md)
+    mat_table = jnp.concatenate([
+        mats.base_color_factor,                       # 0:4
+        mats.emissive_factor,                         # 4:7
+        mats.metallic_factor[:, None],                # 7
+        mats.roughness_factor[:, None],               # 8
+        mats.normal_scale[:, None],                   # 9
+        mats.occlusion_factor[:, None],               # 10
+        mats.workflow[:, None].astype(jnp.float32),   # 11
+        mats.clearcoat_factor[:, None],               # 12
+        mats.clearcoat_roughness_factor[:, None],     # 13
+        jnp.zeros((mats.metallic_factor.shape[0], 2), jnp.float32),
+    ], axis=-1)
+    mrow = mat_table[mat_id]                          # (H, W, 16)
+    base_color = mrow[..., 0:3]
+    emissive = mrow[..., 4:7]
+    metallic = mrow[..., 7:8]
+    roughness = mrow[..., 8:9]
     occlusion = jnp.ones_like(metallic)
 
     if use_textures and atlas is not None:
@@ -144,7 +159,7 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         # tangent-space normal perturbation (PerturbNormal analogue)
         t_b = m3.normalize(tan_px - nrm_px * m3.dot(tan_px, nrm_px))
         b_b = jnp.cross(nrm_px, t_b) * tan_sign
-        nscale = mats.normal_scale[mat_id][..., None]
+        nscale = mrow[..., 9:10]
         n_ts = n_t[..., :3] * 2.0 - 1.0
         n_ts = n_ts * jnp.concatenate(
             [nscale, nscale, jnp.ones_like(nscale)], axis=-1)
@@ -158,7 +173,7 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         emissive = jnp.where(em_on, emissive * m3.srgb_to_linear(em_t[..., :3]),
                              emissive)
         ao_t, ao_on = slot_sample(4)
-        occl_strength = mats.occlusion_factor[mat_id][..., None]
+        occl_strength = mrow[..., 10:11]
         occlusion = jnp.where(
             ao_on, 1.0 + occl_strength * (ao_t[..., 0:1] - 1.0), occlusion)
 
@@ -170,11 +185,11 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     # stacked attribs, the analogue of the ENABLE_* macros) ------------------
     clearcoat = None
     if enable_clearcoat:
-        cc_rough = mats.clearcoat_roughness_factor[mat_id][..., None]
+        cc_rough = mrow[..., 13:14]
         clearcoat = sh.ClearcoatShadingInfo(
             srf=sh.get_surface_reflectance_clearcoat(cc_rough),
             normal=nrm_px,
-            factor=mats.clearcoat_factor[mat_id][..., None])
+            factor=mrow[..., 12:13])
     sheen = None
     if scene.materials_sheen is not None:
         ms = scene.materials_sheen
@@ -279,7 +294,7 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     direct = lighting.base.punctual + shading.emissive
     # unlit workflow (PBR_WORKFLOW_UNLIT, RenderPBR.psh UNSHADED path):
     # final color is the base color, no lighting terms
-    unlit = (mats.workflow[mat_id] == sh.PBR_WORKFLOW_UNLIT)[..., None]
+    unlit = mrow[..., 11:12] == float(sh.PBR_WORKFLOW_UNLIT)
     direct = jnp.where(unlit, base_color, direct)
     amb_d = jnp.where(unlit, 0.0, amb_d)
     amb_s = jnp.where(unlit, 0.0, amb_s)

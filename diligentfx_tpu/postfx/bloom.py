@@ -80,6 +80,7 @@ def upsample_add(low: Array, high: Array, radius: float = 1.0) -> Array:
     return high + up * radius
 
 
+@jax.named_scope("hn.bloom")
 def apply_bloom(color: Array, settings: BloomSettings = BloomSettings(),
                 num_mips: int = 6) -> Array:
     """Full bloom chain (Bloom::Execute: prefilter → downsample chain →

@@ -110,6 +110,7 @@ class DoFState(NamedTuple):
     coc_history: Array
 
 
+@jax.named_scope("hn.dof")
 def apply_dof(color: Array, depth: Array, camera: CameraAttribs,
               settings: DoFSettings = DoFSettings(),
               state: Optional[DoFState] = None,

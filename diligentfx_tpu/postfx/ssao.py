@@ -197,6 +197,7 @@ class SSAOState(NamedTuple):
     history: Array  # (H, W)
 
 
+@jax.named_scope("hn.ssao")
 def apply_ssao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                frame_index, settings: SSAOSettings = SSAOSettings(),
                state: Optional[SSAOState] = None,

@@ -110,6 +110,7 @@ def _march(depth_mips, origin_uvz: Array, dir_uvz: Array, steps: int,
     return hit_uvz, hit
 
 
+@jax.named_scope("hn.ssr")
 def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
                 camera: CameraAttribs, frame_index,
                 settings: SSRSettings = SSRSettings(),

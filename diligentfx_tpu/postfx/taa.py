@@ -117,6 +117,7 @@ def _sample_history_catmull_rom(history: Array, uv: Array) -> Array:
     return acc / jnp.maximum(wsum, 1e-6)
 
 
+@jax.named_scope("hn.taa")
 def taa_accumulate(color: Array, state: Optional[TAAState],
                    resources: PostFXResources,
                    settings: TAASettings = TAASettings(),
