@@ -90,7 +90,9 @@ def main():
         enable_ssao=True, ssao_half_resolution=True,
         ssao_num_slices=2, ssao_num_steps=4,
         ssao_use_pallas=not args.smoke,
+        fast_env_taps=not args.smoke,
         enable_ssr=True, ssr_half_resolution=True,
+        ssr_resolution_divisor=2 if args.smoke else 4,
         enable_taa=True, enable_bloom=True, enable_dof=False,
         taa_feature_flags=(TAAFeatureFlags.YCOCG_COLOR_SPACE
                            | TAAFeatureFlags.GAUSSIAN_WEIGHTING

@@ -62,6 +62,7 @@ class TaskManagerCreateInfo:
     ssao_half_resolution: bool = True
     enable_ssr: bool = True
     ssr_half_resolution: bool = False
+    ssr_resolution_divisor: int = 0  # 0 = derive from half_resolution
     enable_taa: bool = True
     enable_dof: bool = False
     enable_bloom: bool = True
@@ -77,6 +78,7 @@ class TaskManagerCreateInfo:
     ssao_num_slices: int = 3
     ssao_num_steps: int = 6
     ssao_use_pallas: bool = False   # gather-free tap path (TPU only)
+    fast_env_taps: bool = False     # nearest-mip env + point LUT sampling
 
 
 class FrameSettings(NamedTuple):
@@ -181,7 +183,8 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
                         shadow_mode=shadow_mode,
                         pcf_kernel_size=pcf_kernel_size,
                         atlas=atlas, use_textures=use_textures,
-                        enable_clearcoat=enable_clearcoat)
+                        enable_clearcoat=enable_clearcoat,
+                        fast_env=ci.fast_env_taps)
 
     # ---- PostFXContext -------------------------------------------------------
     closest_motion = dilate_closest_motion(gb.depth, gb.motion)
@@ -216,7 +219,8 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
             refl_src, gb.depth, gb.normal_view,
             gb.material_data[..., 1:2], info.camera, state.frame_index,
             settings.ssr, state=state.ssr, motion=gb.motion,
-            half_resolution=ci.ssr_half_resolution)
+            half_resolution=ci.ssr_half_resolution,
+            resolution_divisor=ci.ssr_resolution_divisor)
 
     # ---- Composite (HnPostProcess.psh analogue) -------------------------------
     ao1 = ao[..., None]

@@ -49,13 +49,14 @@ class GBufferData(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "cfg", "use_ibl", "use_lights", "shadow_mode",
-    "pcf_kernel_size", "use_textures", "enable_clearcoat"))
+    "pcf_kernel_size", "use_textures", "enable_clearcoat", "fast_env"))
 def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                    *, width: int, height: int, cfg: RasterizerConfig,
                    use_ibl: bool = True, use_lights: bool = True,
                    shadow_mode=None, pcf_kernel_size: int = 3,
                    atlas=None, use_textures: bool = False,
-                   enable_clearcoat: bool = False) -> GBufferData:
+                   enable_clearcoat: bool = False,
+                   fast_env: bool = False) -> GBufferData:
     pad_w, pad_h = rz.pad_viewport(width, height, cfg)
 
     world_pos, world_nrm, _ = transform_vertices(scene, info.model_transform)
@@ -275,7 +276,8 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
 
     scale = info.renderer_params.ibl_scale[:3]
     if use_ibl and ibl_maps is not None:
-        lighting = sh.apply_ibl(shading, ibl_maps, lighting)
+        lighting = sh.apply_ibl(shading, ibl_maps, lighting,
+                                fast_env=fast_env)
         amb_d = lighting.base.diffuse_ibl * scale
         amb_s = lighting.base.specular_ibl * scale
         # split-sum env factor for SSR substitution
@@ -316,7 +318,11 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                  + lighting.clearcoat.specular_ibl * scale * clearcoat.factor)
 
     ray = _camera_rays(info.camera, pad_w, pad_h)
-    bg = sample_env_oct([env_oct], ray, jnp.zeros(ray.shape[:-1]))
+    if fast_env:
+        from diligentfx_tpu.ops.sampling import dir_to_oct_uv, point_sample
+        bg = point_sample(env_oct, dir_to_oct_uv(ray))
+    else:
+        bg = sample_env_oct([env_oct], ray, jnp.zeros(ray.shape[:-1]))
 
     nrm_view = m3.transform_directions(nrm_px, info.camera.view)
 

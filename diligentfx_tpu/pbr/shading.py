@@ -298,17 +298,28 @@ def apply_punctual_lights(shading: SurfaceShadingInfo, lights: PBRLightAttribs,
 # ---------------------------------------------------------------------------
 
 
-def _sample_prefiltered(maps: IBLMaps, direction: Array, lod: Array) -> Array:
-    """Prefiltered env sample — flattened-pyramid fast path when available."""
+def _sample_prefiltered(maps: IBLMaps, direction: Array, lod: Array,
+                        fast: bool = False) -> Array:
+    """Prefiltered env sample — flattened-pyramid fast path when available.
+    fast=True rounds to the nearest mip (4 taps instead of 8; slight
+    roughness quantization, half the gather cost)."""
     if maps.pref_flat is not None:
-        from diligentfx_tpu.ops.sampling import sample_oct_pyramid
+        from diligentfx_tpu.ops.sampling import (_pyramid_bilinear,
+                                                 dir_to_oct_uv,
+                                                 sample_oct_pyramid)
+        if fast:
+            li = jnp.clip(jnp.round(lod), 0, maps.pref_sizes.shape[0] - 1
+                          ).astype(jnp.int32)
+            return _pyramid_bilinear(maps.pref_flat, maps.pref_offsets,
+                                     maps.pref_sizes, li, dir_to_oct_uv(direction))
         return sample_oct_pyramid(maps.pref_flat, maps.pref_offsets,
                                   maps.pref_sizes, direction, lod)
     return sample_env_oct(maps.prefiltered, direction, lod)
 
 
 def apply_ibl(shading: SurfaceShadingInfo, maps: IBLMaps,
-              lighting: SurfaceLightingInfo) -> SurfaceLightingInfo:
+              lighting: SurfaceLightingInfo,
+              fast_env: bool = False) -> SurfaceLightingInfo:
     n = shading.base.normal
     v = shading.view
     srf = shading.base.srf
@@ -316,7 +327,11 @@ def apply_ibl(shading: SurfaceShadingInfo, maps: IBLMaps,
     last_mip = float(len(maps.prefiltered) - 1)
 
     lut_uv = jnp.concatenate([ndotv, srf.perceptual_roughness], axis=-1)
-    pre_int = bilinear_sample(maps.preintegrated_ggx, lut_uv)  # (..., 2)
+    if fast_env:
+        from diligentfx_tpu.ops.sampling import point_sample
+        pre_int = point_sample(maps.preintegrated_ggx, lut_uv)   # (..., 2)
+    else:
+        pre_int = bilinear_sample(maps.preintegrated_ggx, lut_uv)
 
     # Roughness-dependent Fresnel (Fdez-Aguera), PBR_Shading.fxh:254-262
     one_minus_r = 1.0 - srf.perceptual_roughness
@@ -357,7 +372,7 @@ def apply_ibl(shading: SurfaceShadingInfo, maps: IBLMaps,
         n_spec = n
     l = normalize(reflect(-v, n_spec))
     lod = srf.perceptual_roughness[..., 0] * last_mip
-    spec_light = _sample_prefiltered(maps, l, lod)
+    spec_light = _sample_prefiltered(maps, l, lod, fast=fast_env)
     specular_ibl = spec_light * (k_s * pre_int[..., 0:1] + pre_int[..., 1:2])
 
     new_sheen = lighting.sheen

@@ -116,16 +116,19 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
                 settings: SSRSettings = SSRSettings(),
                 state: Optional[SSRState] = None,
                 motion: Optional[Array] = None,
-                half_resolution: bool = False) -> Tuple[Array, SSRState]:
+                half_resolution: bool = False,
+                resolution_divisor: int = 0) -> Tuple[Array, SSRState]:
     """Full SSR: returns ((H, W, 4) radiance+confidence, new state).
 
     color: scene radiance to reflect (pre-tonemap); normal_vs view-space.
     """
     full_h, full_w = depth.shape
-    if half_resolution:
-        depth_r = depth[::2, ::2]
-        normal_r = normal_vs[::2, ::2]
-        rough_r = roughness[::2, ::2]
+    d = resolution_divisor or (2 if half_resolution else 1)
+    if d > 1:
+        depth_r = depth[::d, ::d]
+        normal_r = normal_vs[::d, ::d]
+        rough_r = roughness[::d, ::d]
+        half_resolution = True
     else:
         depth_r, normal_r, rough_r = depth, normal_vs, roughness
     h, w = depth_r.shape
