@@ -79,6 +79,15 @@ class TaskManagerCreateInfo:
     ssao_num_steps: int = 6
     ssao_use_pallas: bool = False   # gather-free tap path (TPU only)
     fast_env_taps: bool = False     # nearest-mip env + point LUT sampling
+    # Epipolar light scattering (HnPostProcessTask's scattering stage)
+    enable_light_scattering: bool = False
+    epipolar_slices: int = 256
+    epipolar_samples: int = 128
+    epipolar_march_steps: int = 24
+    # Auto-exposure (average-log-luminance measurement + temporal adaptation,
+    # the UpdateAverageLuminance analogue)
+    enable_auto_exposure: bool = False
+    exposure_adaptation_rate: float = 0.05
 
 
 class FrameSettings(NamedTuple):
@@ -99,6 +108,7 @@ class FrameState(NamedTuple):
     ssr: Optional[fx_ssr.SSRState] = None
     ssao: Optional[fx_ssao.SSAOState] = None
     dof: Optional[fx_dof.DoFState] = None
+    average_log_lum: Optional[Array] = None   # () adapted exposure
 
 
 class FrameOutput(NamedTuple):
@@ -118,6 +128,10 @@ class HnTaskManager:
         self.ci = ci
         self.atlas = atlas
         self.jitter_seq = taa_jitter_sequence(16)
+        self.atmosphere_lut = None
+        if ci.enable_light_scattering:
+            from diligentfx_tpu.postfx.epipolar import precompute_optical_depth_lut
+            self.atmosphere_lut = precompute_optical_depth_lut()
 
     def initial_state(self, width: int, height: int) -> FrameState:
         z2 = jnp.zeros((height, width, 2), jnp.float32)
@@ -131,6 +145,8 @@ class HnTaskManager:
             ssr=fx_ssr.SSRState(radiance=z4) if self.ci.enable_ssr else None,
             ssao=fx_ssao.SSAOState(history=z1 + 1.0) if self.ci.enable_ssao else None,
             dof=fx_dof.DoFState(coc_history=z1) if self.ci.enable_dof else None,
+            average_log_lum=(jnp.float32(0.3)
+                             if self.ci.enable_auto_exposure else None),
         )
 
     def execute(self, scene: ScenePrimitives, info: RenderInfo,
@@ -138,7 +154,7 @@ class HnTaskManager:
                 settings: FrameSettings = FrameSettings()) -> FrameOutput:
         return _execute_frame(
             scene, info, state, self.renderer.ibl_maps, self.renderer.env_oct,
-            self.jitter_seq, settings, self.atlas,
+            self.jitter_seq, settings, self.atlas, self.atmosphere_lut,
             width=width, height=height, cfg=self.renderer.raster_cfg, ci=self.ci,
             use_ibl=self.renderer.ci.enable_ibl,
             use_textures=self.atlas is not None,
@@ -150,7 +166,8 @@ class HnTaskManager:
     "width", "height", "cfg", "ci", "use_ibl", "use_textures",
     "pcf_kernel_size", "enable_clearcoat"))
 def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
-                   env_oct, jitter_seq, settings: FrameSettings, atlas, *,
+                   env_oct, jitter_seq, settings: FrameSettings, atlas,
+                   atmosphere_lut, *,
                    width: int, height: int, cfg: RasterizerConfig,
                    ci: TaskManagerCreateInfo, use_ibl: bool,
                    use_textures: bool, pcf_kernel_size: int,
@@ -255,6 +272,35 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
                                          wp, wn, winv_b, use_ibl=use_ibl)
         color = oit.composite_klayers(color, gb.depth, kl, lcol, lalpha)
 
+    # ---- Epipolar light scattering (god rays + atmosphere) ---------------------
+    if ci.enable_light_scattering and atmosphere_lut is not None:
+        from diligentfx_tpu.postfx.epipolar import (EpipolarSettings,
+                                                    apply_light_scattering)
+        sun_dir = info.lights.direction[0]
+        shadow_data = None
+        if info.shadow_attribs is not None and info.shadow_maps is not None:
+            shadow_data = (info.shadow_attribs, info.shadow_maps)
+        eps = EpipolarSettings(num_epipolar_slices=ci.epipolar_slices,
+                               max_samples_in_slice=ci.epipolar_samples,
+                               num_ray_march_steps=ci.epipolar_march_steps)
+        scat = apply_light_scattering(color, gb.depth, info.camera, sun_dir,
+                                      atmosphere_lut, eps,
+                                      shadow_data=shadow_data)
+        color = scat.color
+
+    # ---- Auto exposure (UpdateAverageLuminance analogue) ------------------------
+    new_exposure = state.average_log_lum
+    if ci.enable_auto_exposure:
+        from diligentfx_tpu.postfx.tonemap import average_log_luminance
+        measured = average_log_luminance(color)
+        adapted = jnp.where(first_frame, measured,
+                            state.average_log_lum
+                            + (measured - state.average_log_lum)
+                            * ci.exposure_adaptation_rate)
+        new_exposure = adapted
+        info = info._replace(renderer_params=info.renderer_params.replace(
+            average_log_lum=adapted))
+
     # ---- TAA ------------------------------------------------------------------
     new_taa = state.taa
     if ci.enable_taa:
@@ -285,5 +331,6 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
     new_state = FrameState(
         frame_index=state.frame_index + 1,
         prev_view_proj=info.camera.view_proj,
-        taa=new_taa, ssr=new_ssr, ssao=new_ssao, dof=new_dof)
+        taa=new_taa, ssr=new_ssr, ssao=new_ssao, dof=new_dof,
+        average_log_lum=new_exposure if ci.enable_auto_exposure else state.average_log_lum)
     return FrameOutput(color=color, gbuffer=gb, state=new_state)

@@ -189,7 +189,8 @@ class PBRRenderer:
 
     def __init__(self, ci: PBRRendererCreateInfo = PBRRendererCreateInfo(),
                  env_oct: Optional[Array] = None,
-                 raster_cfg: RasterizerConfig = RasterizerConfig()):
+                 raster_cfg: RasterizerConfig = RasterizerConfig(),
+                 ibl_cache_dir: Optional[str] = None):
         self.ci = ci
         self.raster_cfg = raster_cfg
         if env_oct is None:
@@ -202,6 +203,17 @@ class PBRRenderer:
             env_oct = ground + (sky - ground) * t
         self.env_oct = env_oct
         if ci.enable_ibl:
+            cache_path = None
+            if ibl_cache_dir:
+                from diligentfx_tpu.utils.cache import (ibl_cache_key,
+                                                        load_ibl_maps)
+                import os as _os
+                cache_path = _os.path.join(
+                    ibl_cache_dir, f"ibl_{ibl_cache_key(env_oct, ci)}.npz")
+                cached = load_ibl_maps(cache_path)
+                if cached is not None:
+                    self.ibl_maps = cached
+                    return
             self.ibl_maps = precompute_ibl_maps(
                 env_oct,
                 brdf_lut_dim=ci.brdf_lut_dim,
@@ -209,6 +221,9 @@ class PBRRenderer:
                 irradiance_dim=ci.irradiance_cube_dim,
                 prefiltered_dim=ci.prefiltered_env_map_dim,
                 num_spec_samples=ci.num_specular_env_samples)
+            if cache_path:
+                from diligentfx_tpu.utils.cache import save_ibl_maps
+                save_ibl_maps(cache_path, self.ibl_maps)
         else:
             self.ibl_maps = None
 

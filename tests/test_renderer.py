@@ -129,3 +129,16 @@ def test_evsm_shadow_mode(renderer, scene, frame_info):
     img = np.asarray(renderer.render(scene, info_sh, width=W, height=H,
                                      shadow_mode=ShadowMode.EVSM2))
     assert np.isfinite(img).all()
+
+
+def test_ibl_disk_cache(tmp_path):
+    import time as _t
+    from diligentfx_tpu.utils.cache import load_ibl_maps
+    r1 = PBRRenderer(CI, raster_cfg=CFG, ibl_cache_dir=str(tmp_path))
+    files = list(tmp_path.glob("ibl_*.npz"))
+    assert len(files) == 1
+    r2 = PBRRenderer(CI, raster_cfg=CFG, ibl_cache_dir=str(tmp_path))
+    np.testing.assert_allclose(np.asarray(r1.ibl_maps.preintegrated_ggx),
+                               np.asarray(r2.ibl_maps.preintegrated_ggx),
+                               atol=1e-6)
+    assert len(r2.ibl_maps.prefiltered) == len(r1.ibl_maps.prefiltered)

@@ -111,3 +111,22 @@ def test_motion_vectors_on_camera_move(setup):
     hit = np.asarray(out2.gbuffer.hit)
     mv = np.asarray(out2.gbuffer.motion)
     assert np.abs(mv[hit]).max() > 1e-3
+
+
+def test_pipeline_light_scattering_and_auto_exposure(setup):
+    renderer, scene, info = setup
+    from diligentfx_tpu.hydrogent.task_manager import TaskManagerCreateInfo
+    tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=False, enable_ssr=False, enable_taa=False,
+        enable_bloom=False, enable_light_scattering=True,
+        epipolar_slices=64, epipolar_samples=32, epipolar_march_steps=8,
+        enable_auto_exposure=True))
+    state = tm.initial_state(W, H)
+    out = tm.execute(scene, info, state, width=W, height=H)
+    a = np.asarray(out.color)
+    assert np.isfinite(a).all()
+    assert out.state.average_log_lum is not None
+    assert np.isfinite(float(out.state.average_log_lum))
+    # second frame adapts exposure
+    out2 = tm.execute(scene, info, out.state, width=W, height=H)
+    assert np.isfinite(np.asarray(out2.color)).all()
