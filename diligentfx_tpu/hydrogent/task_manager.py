@@ -79,6 +79,7 @@ class TaskManagerCreateInfo:
     ssao_num_steps: int = 6
     ssao_use_pallas: bool = False   # gather-free tap path (TPU only)
     fast_env_taps: bool = False     # nearest-mip env + point LUT sampling
+    dof_use_pallas: bool = False    # gather-free bokeh taps (TPU only)
     # Epipolar light scattering (HnPostProcessTask's scattering stage)
     enable_light_scattering: bool = False
     epipolar_slices: int = 256
@@ -317,7 +318,8 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
     if ci.enable_dof:
         color, new_dof = fx_dof.apply_dof(color, gb.depth, info.camera,
                                           settings.dof, state=state.dof,
-                                          motion=gb.motion, use_temporal=True)
+                                          motion=gb.motion, use_temporal=True,
+                                          use_pallas=ci.dof_use_pallas)
     if ci.enable_bloom:
         color = fx_bloom.apply_bloom(color, settings.bloom)
 

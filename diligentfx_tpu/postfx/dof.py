@@ -71,26 +71,48 @@ def _disk_kernel(n: int):
 
 
 def bokeh_blur(color: Array, coc: Array, near_coc: Array, s: DoFSettings,
-               kernel_size: int = 24) -> Array:
+               kernel_size: int = 24, use_pallas: bool = False) -> Array:
     """Disk-gather bokeh (the two bokeh passes): each tap weighted by whether
-    the sample's CoC reaches the center pixel.  kernel_size is static."""
+    the sample's CoC reaches the center pixel.  kernel_size is static.
+
+    use_pallas routes each tap through the gather-free windowed-warp kernel
+    (color + reach packed as one 4-channel warp; CoC radii are bounded, so
+    the kernel halo always covers the disk)."""
     h, w = color.shape[:2]
     taps = _disk_kernel(kernel_size)
     xg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5)
     yg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5)
     radius_px = jnp.maximum(jnp.abs(coc), near_coc) * s.max_coc_px
 
+    if use_pallas:
+        from diligentfx_tpu.ops.warp_pallas import TILE_H, TILE_W, warp_bilinear_pallas
+        reach_img = (jnp.maximum(jnp.abs(coc), near_coc) * s.max_coc_px)[..., None]
+        packed = jnp.concatenate([color, reach_img], axis=-1)
+        pad_h = (-h) % TILE_H
+        pad_w = (-w) % TILE_W
+        if pad_h or pad_w:
+            packed = jnp.pad(packed, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+
     acc = color
     wacc = jnp.ones((h, w, 1), jnp.float32)
     for i in range(taps.shape[0]):
         ox = taps[i, 0] * radius_px
         oy = taps[i, 1] * radius_px
-        uv = jnp.stack([(xg + ox) / w, (yg + oy) / h], axis=-1)
-        c = bilinear_sample(color, uv)
-        sample_coc = bilinear_sample(jnp.abs(coc)[..., None], uv)[..., 0]
-        sample_near = bilinear_sample(near_coc[..., None], uv)[..., 0]
         tap_r = jnp.sqrt(taps[i, 0] ** 2 + taps[i, 1] ** 2) * radius_px
-        reach = jnp.maximum(sample_coc, sample_near) * s.max_coc_px
+        if use_pallas:
+            off = jnp.stack([ox, oy], axis=-1)
+            if pad_h or pad_w:
+                off = jnp.pad(off, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+            sampled = warp_bilinear_pallas(packed, off, halo_r=16, halo_c=64)
+            sampled = sampled[:h, :w]
+            c = sampled[..., :3]
+            reach = sampled[..., 3]
+        else:
+            uv = jnp.stack([(xg + ox) / w, (yg + oy) / h], axis=-1)
+            c = bilinear_sample(color, uv)
+            sample_coc = bilinear_sample(jnp.abs(coc)[..., None], uv)[..., 0]
+            sample_near = bilinear_sample(near_coc[..., None], uv)[..., 0]
+            reach = jnp.maximum(sample_coc, sample_near) * s.max_coc_px
         wgt = jnp.clip((reach - tap_r) * 0.5 + 0.5, 0.0, 1.0)[..., None]
         acc = acc + c * wgt
         wacc = wacc + wgt
@@ -116,7 +138,8 @@ def apply_dof(color: Array, depth: Array, camera: CameraAttribs,
               state: Optional[DoFState] = None,
               motion: Optional[Array] = None,
               use_temporal: bool = False,
-              bokeh_kernel_size: int = 24) -> Tuple[Array, DoFState]:
+              bokeh_kernel_size: int = 24,
+              use_pallas: bool = False) -> Tuple[Array, DoFState]:
     """Full DoF chain (DepthOfField::Execute)."""
     h, w = depth.shape
     coc = circle_of_confusion(depth, camera, settings)
@@ -133,7 +156,8 @@ def apply_dof(color: Array, depth: Array, camera: CameraAttribs,
                  + color[0::2, 1::2] + color[1::2, 1::2])
     coc2 = coc[0::2, 0::2]
     near2 = dilate_near_coc(coc2, radius=3)
-    blurred = bokeh_blur(c2, coc2, near2, settings, bokeh_kernel_size)
+    blurred = bokeh_blur(c2, coc2, near2, settings, bokeh_kernel_size,
+                         use_pallas=use_pallas)
     blurred = tent_3x3(blurred)
     blurred_full = jax.image.resize(blurred, (h, w, 3), method="bilinear")
     near_full = jax.image.resize(near2, (h, w), method="bilinear")
