@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from diligentfx_tpu import math3d as m3
 from diligentfx_tpu.attribs import CameraAttribs
-from diligentfx_tpu.config import RasterizerConfig, ShadowMode, ToneMappingMode
+from diligentfx_tpu.config import (DebugViewType, RasterizerConfig,
+                                   ShadowMode, ToneMappingMode)
 from diligentfx_tpu.pbr.deferred import GBufferData, render_gbuffer
 from diligentfx_tpu.pbr.renderer import PBRRenderer, RenderInfo, ScenePrimitives
 from diligentfx_tpu.postfx import bloom as fx_bloom
@@ -80,6 +81,9 @@ class TaskManagerCreateInfo:
     ssao_use_pallas: bool = False   # gather-free tap path (TPU only)
     fast_env_taps: bool = False     # nearest-mip env + point LUT sampling
     dof_use_pallas: bool = False    # gather-free bokeh taps (TPU only)
+    # Debug AOV output (HN_VIEW_MODE_* analogue, HnTypes.hpp:76+): when not
+    # NONE the frame output is the selected AOV visualization.
+    view_mode: DebugViewType = DebugViewType.NONE
     # Epipolar light scattering (HnPostProcessTask's scattering stage)
     enable_light_scattering: bool = False
     epipolar_slices: int = 256
@@ -323,11 +327,15 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
     if ci.enable_bloom:
         color = fx_bloom.apply_bloom(color, settings.bloom)
 
+    # ---- Debug AOV view (HN_VIEW_MODE) ------------------------------------------
+    if ci.view_mode != DebugViewType.NONE:
+        color = _debug_aov(ci.view_mode, gb, ao)
+
     # ---- Tone map + sRGB --------------------------------------------------------
-    if ci.tone_mapping_mode != ToneMappingMode.NONE:
+    if ci.view_mode == DebugViewType.NONE and ci.tone_mapping_mode != ToneMappingMode.NONE:
         color = tone_map(color, ci.tone_mapping_mode, settings.tone_mapping,
                          ave_log_lum=info.renderer_params.average_log_lum)
-    if ci.convert_output_to_srgb:
+    if ci.view_mode == DebugViewType.NONE and ci.convert_output_to_srgb:
         color = m3.linear_to_srgb(color)
 
     new_state = FrameState(
@@ -336,3 +344,37 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
         taa=new_taa, ssr=new_ssr, ssao=new_ssao, dof=new_dof,
         average_log_lum=new_exposure if ci.enable_auto_exposure else state.average_log_lum)
     return FrameOutput(color=color, gbuffer=gb, state=new_state)
+
+
+def _debug_aov(view: DebugViewType, gb: GBufferData, ao):
+    """Visualize a G-buffer AOV (the HnPostProcess debug-view output)."""
+    ones3 = jnp.ones_like(gb.base_color)
+    hitm = gb.hit[..., None]
+    if view == DebugViewType.BASE_COLOR:
+        out = gb.base_color
+    elif view == DebugViewType.METALLIC:
+        out = gb.material_data[..., 0:1] * ones3
+    elif view == DebugViewType.ROUGHNESS:
+        out = gb.material_data[..., 1:2] * ones3
+    elif view == DebugViewType.OCCLUSION:
+        out = (gb.material_data[..., 2:3] * ao[..., None]) * ones3
+    elif view == DebugViewType.SHADING_NORMAL:
+        out = gb.normal_world * 0.5 + 0.5
+    elif view == DebugViewType.MESH_NORMAL:
+        out = gb.normal_view * 0.5 + 0.5
+    elif view == DebugViewType.MOTION_VECTORS:
+        out = jnp.concatenate([jnp.abs(gb.motion) * 20.0,
+                               jnp.zeros_like(gb.motion[..., :1])], axis=-1)
+    elif view == DebugViewType.SCENE_DEPTH:
+        out = gb.depth[..., None] * ones3
+    elif view == DebugViewType.PUNCTUAL_LIGHTING:
+        out = gb.direct
+    elif view == DebugViewType.DIFFUSE_IBL:
+        out = gb.ambient_diffuse
+    elif view == DebugViewType.SPECULAR_IBL:
+        out = gb.ambient_specular
+    elif view == DebugViewType.EMISSIVE:
+        out = gb.direct * 0.0
+    else:
+        out = gb.base_color
+    return jnp.where(hitm, out, 0.0)

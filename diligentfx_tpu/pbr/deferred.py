@@ -114,6 +114,8 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         mats.workflow[:, None].astype(jnp.float32),   # 11
         mats.clearcoat_factor[:, None],               # 12
         mats.clearcoat_roughness_factor[:, None],     # 13
+        mats.specular_factor,                         # 14:17 (spec-gloss)
+        mats.alpha_mask_cutoff[:, None],              # 17
         jnp.zeros((mats.metallic_factor.shape[0], 2), jnp.float32),
     ], axis=-1)
     mrow = mat_table[mat_id]                          # (H, W, 16)
@@ -180,6 +182,19 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
 
     view = m3.normalize(info.camera.position - pos_px)
     srf = sh.get_surface_reflectance_mr(base_color, metallic, roughness)
+    # specular-glossiness workflow (GetSurfaceReflectance SG branch,
+    # PBR_Shading.fxh:390-402): base=diffuse, specular factor=F0,
+    # roughness field carries (1 - glossiness) already
+    workflow = mrow[..., 11:12]
+    is_sg = workflow == float(sh.PBR_WORKFLOW_SPECULAR_GLOSSINESS)
+    srf_sg = sh.get_surface_reflectance_sg(base_color, mrow[..., 14:17],
+                                           1.0 - roughness)
+    srf = sh.SurfaceReflectanceInfo(
+        perceptual_roughness=jnp.where(is_sg, srf_sg.perceptual_roughness,
+                                       srf.perceptual_roughness),
+        diffuse_color=jnp.where(is_sg, srf_sg.diffuse_color, srf.diffuse_color),
+        reflectance0=jnp.where(is_sg, srf_sg.reflectance0, srf.reflectance0),
+        reflectance90=jnp.where(is_sg, srf_sg.reflectance90, srf.reflectance90))
     ndotv = jnp.clip(m3.dot(nrm_px, view), 0.0, 1.0)
 
     # ---- material extension layers (statically enabled by presence of the
@@ -296,7 +311,7 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     direct = lighting.base.punctual + shading.emissive
     # unlit workflow (PBR_WORKFLOW_UNLIT, RenderPBR.psh UNSHADED path):
     # final color is the base color, no lighting terms
-    unlit = mrow[..., 11:12] == float(sh.PBR_WORKFLOW_UNLIT)
+    unlit = workflow == float(sh.PBR_WORKFLOW_UNLIT)
     direct = jnp.where(unlit, base_color, direct)
     amb_d = jnp.where(unlit, 0.0, amb_d)
     amb_s = jnp.where(unlit, 0.0, amb_s)

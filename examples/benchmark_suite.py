@@ -203,6 +203,7 @@ def config_4_animated(frames):
         ssao_num_slices=2, ssao_num_steps=4,
         enable_ssr=True, ssr_half_resolution=True,
         enable_taa=True, enable_bloom=True, enable_dof=True,
+        dof_use_pallas=True, fast_env_taps=True,
         taa_feature_flags=(TAAFeatureFlags.YCOCG_COLOR_SPACE
                            | TAAFeatureFlags.GAUSSIAN_WEIGHTING
                            | TAAFeatureFlags.PALLAS_WARP)))

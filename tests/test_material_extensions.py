@@ -110,3 +110,21 @@ def test_transmission_suppresses_diffuse(base):
     d1 = np.asarray(gb1.ambient_diffuse)[hit].sum()
     d0 = np.asarray(gb0.ambient_diffuse)[hit].sum()
     assert d1 < d0 * 0.2  # fully transmissive → diffuse mostly gone
+
+
+def test_spec_gloss_workflow(base):
+    """workflow=1 uses base as diffuse + specular_factor as F0."""
+    renderer, scene, info = base
+    import jax.numpy as jnp
+    mats = scene.materials
+    sg = mats.replace(
+        workflow=jnp.ones_like(mats.workflow),
+        specular_factor=jnp.full_like(mats.specular_factor, 0.9),
+        roughness_factor=jnp.full_like(mats.roughness_factor, 0.7))
+    scene_sg = scene._replace(materials=sg)
+    gb_sg, img_sg = render(renderer, scene_sg, info)
+    gb_mr, img_mr = render(renderer, scene, info)
+    hit = np.asarray(gb_sg.hit)
+    assert np.isfinite(img_sg).all()
+    # high specular factor → much stronger specular response than MR dielectric
+    assert img_sg[hit].mean() != pytest.approx(img_mr[hit].mean(), rel=0.01)

@@ -130,3 +130,16 @@ def test_pipeline_light_scattering_and_auto_exposure(setup):
     # second frame adapts exposure
     out2 = tm.execute(scene, info, out.state, width=W, height=H)
     assert np.isfinite(np.asarray(out2.color)).all()
+
+
+def test_view_modes(setup):
+    renderer, scene, info = setup
+    from diligentfx_tpu.config import DebugViewType
+    for vm in (DebugViewType.BASE_COLOR, DebugViewType.SHADING_NORMAL,
+               DebugViewType.MOTION_VECTORS, DebugViewType.SCENE_DEPTH):
+        tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+            enable_ssao=False, enable_ssr=False, enable_taa=False,
+            enable_bloom=False, view_mode=vm))
+        out = tm.execute(scene, info, tm.initial_state(W, H), width=W, height=H)
+        a = np.asarray(out.color)
+        assert np.isfinite(a).all(), vm
