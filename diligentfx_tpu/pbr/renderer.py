@@ -158,7 +158,9 @@ def transform_vertices(scene: ScenePrimitives, model: Optional[Array] = None,
     if model is not None:
         mats = jnp.einsum("nij,jk->nik", mats, model,
                           precision=jax.lax.Precision.HIGHEST)
-    vm = mats[scene.vertex_node]                                  # (V, 4, 4)
+    # gather node matrices as aligned (N, 16) rows (row gathers are ~10x
+    # cheaper than strided (4,4) gathers — PERF_NOTES.md)
+    vm = mats.reshape(-1, 16)[scene.vertex_node].reshape(-1, 4, 4)  # (V, 4, 4)
     if scene.joints is not None:
         jm = (scene.prev_joint_matrices if previous and
               scene.prev_joint_matrices is not None

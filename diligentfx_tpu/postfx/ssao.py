@@ -67,7 +67,7 @@ def _tap_depth(depth: Array, off_x: Array, off_y: Array,
         d = jnp.pad(depth, ((0, pad_h), (0, pad_w)), mode="edge")
         off = jnp.pad(jnp.stack([off_x, off_y], axis=-1),
                       ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
-        out = warp_bilinear_pallas(d, off, halo_r=24, halo_c=64)
+        out = warp_bilinear_pallas(d, off, halo_r=16, halo_c=64)
         return out[:h, :w]
     xi = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5)
     yi = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5)
@@ -137,7 +137,7 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                     # keep the reconstruction position consistent with the
                     # warp kernel's halo clamp
                     off = jnp.stack([jnp.clip(off[..., 0], -63.0, 63.0),
-                                     jnp.clip(off[..., 1], -23.0, 23.0)], -1)
+                                     jnp.clip(off[..., 1], -15.0, 15.0)], -1)
                 d = _tap_depth(depth, off[..., 0], off[..., 1], use_pallas)
                 su = (xi + off[..., 0]) / w
                 sv = (yi + off[..., 1]) / h
