@@ -131,9 +131,18 @@ def _inscatter_march(lut, origins, directions, lengths, sun_dir, s: EpipolarSett
     def altitude(p):
         return (s.base_altitude + p[..., 1] * s.scene_scale)
 
+    # per-ray start jitter (golden-ratio hash over the epipolar grid) breaks
+    # the concentric step-banding a fixed-step march otherwise produces
+    if lengths.ndim == 2:
+        ji = jax.lax.broadcasted_iota(jnp.float32, lengths.shape, 0)
+        jj = jax.lax.broadcasted_iota(jnp.float32, lengths.shape, 1)
+        jitter = jnp.mod(0.618034 * ji + 0.3247179 * jj, 1.0)
+    else:
+        jitter = jnp.zeros_like(lengths)
+
     def body(i, carry):
         inscatter, tau_r, tau_m = carry
-        t = (i + 0.5) * ds
+        t = (i + 0.25 + 0.5 * jitter) * ds
         p = origins + directions * t[..., None]
         h = altitude(p)
         dr, dm = _density(h)
@@ -270,9 +279,14 @@ def _apply_impl(color, depth, camera, sun_dir, sun_intensity_rgb, lut,
 
         a_ins, a_tr, a_z = tap(i0)
         b_ins, b_tr, b_z = tap(i1)
-        # depth-break correction: discount taps whose depth differs strongly
-        wa = (1.0 - wf[..., 0]) * jnp.exp(-jnp.abs(a_z - cam_z_px) / (0.2 * cam_z_px + 1.0))
-        wb = wf[..., 0] * jnp.exp(-jnp.abs(b_z - cam_z_px) / (0.2 * cam_z_px + 1.0))
+        # depth-break correction: discount taps whose depth differs strongly.
+        # The weight floor keeps the blend a true average when BOTH taps
+        # disagree with the pixel depth (otherwise transmittance collapses to
+        # zero and thin silhouettes go black).
+        wa = ((1.0 - wf[..., 0])
+              * (0.02 + jnp.exp(-jnp.abs(a_z - cam_z_px) / (0.2 * cam_z_px + 1.0))))
+        wb = (wf[..., 0]
+              * (0.02 + jnp.exp(-jnp.abs(b_z - cam_z_px) / (0.2 * cam_z_px + 1.0))))
         tot = jnp.maximum(wa + wb, 1e-6)[..., None]
         return ((a_ins * wa[..., None] + b_ins * wb[..., None]) / tot,
                 (a_tr * wa[..., None] + b_tr * wb[..., None]) / tot)
