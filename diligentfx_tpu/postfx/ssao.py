@@ -224,7 +224,13 @@ def apply_ssao(depth: Array, normal_vs: Array, camera: CameraAttribs,
         xg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
         yg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
         prev_uv = jnp.stack([xg, yg], axis=-1) - motion
-        hist = bilinear_sample(state.history[..., None], prev_uv)[..., 0]
+        if use_pallas:
+            from diligentfx_tpu.ops.warp_pallas import warp_bilinear_pallas
+            off_px = -motion * jnp.array([w, h], jnp.float32)
+            hist = warp_bilinear_pallas(state.history, off_px,
+                                        halo_r=8, halo_c=64)
+        else:
+            hist = bilinear_sample(state.history[..., None], prev_uv)[..., 0]
         in_b = ((prev_uv[..., 0] >= 0) & (prev_uv[..., 0] <= 1)
                 & (prev_uv[..., 1] >= 0) & (prev_uv[..., 1] <= 1))
         alpha = jnp.where(in_b, 1.0 - settings.temporal_stability_factor, 1.0)
