@@ -245,15 +245,28 @@ def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
         tds.append(np.zeros(1, bool))
 
     node_m = jnp.asarray(np.stack(node_mats))
+    idx_np = np.concatenate(idx)
+    tmat_np = np.concatenate(tmat)
+    tds_np = np.concatenate(tds)
+    # ALPHA_MODE_MASK tris to the tail (ScenePrimitives.mask_indices invariant)
+    mat_is_mask = np.array([m.alpha_mode == "MASK" for m in mats], bool)
+    is_mask = (mat_is_mask[np.clip(tmat_np, 0, max(len(mats) - 1, 0))]
+               if len(mats) else np.zeros(tmat_np.shape[0], bool))
+    mask_idx = None
+    if is_mask.any():
+        order = np.argsort(is_mask, kind="stable")
+        idx_np, tmat_np, tds_np = idx_np[order], tmat_np[order], tds_np[order]
+        mask_idx = jnp.asarray(idx_np[-int(is_mask.sum()):])
     scene = ScenePrimitives(
         positions=jnp.asarray(np.concatenate(pos)),
         normals=jnp.asarray(np.concatenate(nrm)),
         uvs=jnp.asarray(np.concatenate(uv)),
         tangents=jnp.asarray(np.concatenate(tan)),
-        indices=jnp.asarray(np.concatenate(idx)),
+        indices=jnp.asarray(idx_np),
         vertex_node=jnp.asarray(np.concatenate(vnode)),
-        tri_material=jnp.asarray(np.concatenate(tmat)),
-        tri_double_sided=jnp.asarray(np.concatenate(tds)),
+        tri_material=jnp.asarray(tmat_np),
+        tri_double_sided=jnp.asarray(tds_np),
+        mask_indices=mask_idx,
         node_matrices=node_m,
         prev_node_matrices=node_m,
         materials=stack_materials(basic),

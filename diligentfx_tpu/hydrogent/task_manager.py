@@ -142,12 +142,15 @@ class HnTaskManager:
         z2 = jnp.zeros((height, width, 2), jnp.float32)
         z1 = jnp.zeros((height, width), jnp.float32)
         z3 = jnp.zeros((height, width, 3), jnp.float32)
-        z4 = jnp.zeros((height, width, 4), jnp.float32)
         return FrameState(
             frame_index=jnp.int32(0),
             prev_view_proj=jnp.eye(4, dtype=jnp.float32),
             taa=fx_taa.TAAState(color=z3, sample_count=z1) if self.ci.enable_taa else None,
-            ssr=fx_ssr.SSRState(radiance=z4) if self.ci.enable_ssr else None,
+            ssr=fx_ssr.SSRState(radiance=jnp.zeros(
+                fx_ssr.ssr_state_shape(height, width,
+                                       self.ci.ssr_resolution_divisor,
+                                       self.ci.ssr_half_resolution) + (4,),
+                jnp.float32)) if self.ci.enable_ssr else None,
             ssao=fx_ssao.SSAOState(history=z1 + 1.0) if self.ci.enable_ssao else None,
             dof=fx_dof.DoFState(coc_history=z1) if self.ci.enable_dof else None,
             average_log_lum=(jnp.float32(0.3)

@@ -61,10 +61,21 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
 
     world_pos, world_nrm, _ = transform_vertices(scene, info.model_transform)
     clip = m3.transform_points(world_pos, info.camera.view_proj)
-    vb, _stats = rz.rasterize(clip, scene.indices, width=pad_w, height=pad_h,
-                              cfg=cfg, double_sided=scene.tri_double_sided)
+    # ALPHA_MODE_MASK tris are the tail of the index buffer: the opaque
+    # raster takes the static prefix, the tail goes through the K-layer
+    # alpha-test resolve below (oit.resolve_alpha_mask)
+    n_op = scene.indices.shape[0] - (
+        scene.mask_indices.shape[0] if scene.mask_indices is not None else 0)
+    vb, _stats = rz.rasterize(clip, scene.indices[:n_op],
+                              width=pad_w, height=pad_h, cfg=cfg,
+                              double_sided=scene.tri_double_sided[:n_op])
 
     winv = jnp.where(jnp.abs(clip[:, 3]) > 1e-12, 1.0 / clip[:, 3], 0.0)
+    if scene.mask_indices is not None:
+        from diligentfx_tpu.pbr.oit import resolve_alpha_mask
+        vb = resolve_alpha_mask(vb, clip, scene, winv,
+                                width=pad_w, height=pad_h, cfg=cfg,
+                                atlas=atlas, use_textures=use_textures)
     # previous-frame clip position for motion vectors (object + camera + skin)
     prev_world, _, _ = transform_vertices(scene, info.model_transform,
                                           previous=True)

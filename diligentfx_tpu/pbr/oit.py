@@ -138,6 +138,73 @@ def rasterize_klayers(clip: Array, indices: Array, *, width: int, height: int,
     return _klayer_raster_tiles(setup, candidates, width, height, cfg, num_layers)
 
 
+def resolve_alpha_mask(vb, clip: Array, scene, winv: Array, *,
+                       width: int, height: int,
+                       cfg: RasterizerConfig = RasterizerConfig(),
+                       atlas=None, use_textures: bool = False,
+                       num_layers: int = 2):
+    """ALPHA_MODE_MASK resolve (the reference's alpha-cutoff PSO variants,
+    RenderPBR.psh `BaseColor.a < AlphaMaskCutoff → discard`).
+
+    A visibility buffer can't discard during the z-test, so masked triangles
+    (the tail of scene.indices, see ScenePrimitives.mask_indices) rasterize
+    into a small K-layer buffer; each fragment's alpha (factor x optional
+    base-color texture) is tested against the material cutoff, and the
+    nearest PASSING fragment depth-merges into the opaque visibility buffer.
+    Downstream shading then treats the survivors like any opaque pixel, so
+    masked geometry gets full PBR + SSAO/SSR/TAA.  K=2 handles one level of
+    masked-over-masked overlap; raise num_layers for dense foliage."""
+    from diligentfx_tpu.ops import raster as rzo
+
+    mask_idx = scene.mask_indices
+    base = scene.indices.shape[0] - mask_idx.shape[0]
+    klb = rasterize_klayers(clip, mask_idx, width=width, height=height,
+                            cfg=cfg, num_layers=num_layers)
+
+    mats = scene.materials
+    # aligned (M, 2) alpha table → one row gather per layer
+    alpha_tab = jnp.stack([mats.base_color_factor[:, 3],
+                           mats.alpha_mask_cutoff], axis=-1)
+
+    best_z = jnp.full(vb.depth.shape, jnp.inf, jnp.float32)
+    best_id = jnp.full(vb.tri_id.shape, -1, jnp.int32)
+    best_b = jnp.zeros(vb.bary.shape, jnp.float32)
+    for k in range(klb.depth.shape[0]):
+        tri_l = klb.tri_id[k]
+        valid = tri_l >= 0
+        gtid = jnp.where(valid, tri_l + base, 0)
+        mat = scene.tri_material[gtid]
+        av = alpha_tab[mat]
+        alpha = av[..., 0]
+        if use_textures and atlas is not None and scene.tex_ids is not None:
+            from diligentfx_tpu.ops.texture import apply_uv_transform, sample_atlas
+            lvb = rzo.VisibilityBuffer(depth=klb.depth[k],
+                                       tri_id=jnp.where(valid, gtid, -1),
+                                       bary=klb.bary[k])
+            uv_px = rzo.interpolate_all(lvb, scene.indices, scene.uvs, winv)
+            s_tid = scene.tex_ids[mat, 0]
+            xf = scene.tex_uv_transform[mat, 0]
+            wraps = scene.tex_wraps[mat, 0]
+            uv_t = apply_uv_transform(uv_px, xf[..., :4], xf[..., 4:6])
+            # lod 0: the alpha test wants the crispest available cutout
+            tex = sample_atlas(atlas, jnp.maximum(s_tid, 0), uv_t,
+                               jnp.zeros_like(alpha),
+                               wrap_u=wraps[..., 0], wrap_v=wraps[..., 1])
+            alpha = alpha * jnp.where(s_tid >= 0, tex[..., 3], 1.0)
+        passed = valid & (alpha >= av[..., 1])
+        # layers are depth-ascending, so the first pass wins
+        take = passed & (best_id < 0)
+        best_z = jnp.where(take, klb.depth[k], best_z)
+        best_id = jnp.where(take, gtid, best_id)
+        best_b = jnp.where(take[..., None], klb.bary[k], best_b)
+
+    win = (best_id >= 0) & (best_z < vb.depth)
+    return rzo.VisibilityBuffer(
+        depth=jnp.where(win, best_z, vb.depth),
+        tri_id=jnp.where(win, best_id, vb.tri_id),
+        bary=jnp.where(win[..., None], best_b, vb.bary))
+
+
 def shade_klayers(scene, info, ibl_maps, layers: KLayerBuffer,
                   world_pos: Array, world_nrm: Array, winv: Array,
                   use_ibl: bool = True) -> Tuple[Array, Array]:

@@ -77,6 +77,12 @@ class ScenePrimitives(NamedTuple):
     # None when the scene has no transparency.
     blend_indices: Array = None            # (Tb, 3) int32
     blend_tri_material: Array = None       # (Tb,) int32
+    # ALPHA_MODE_MASK geometry (GLTF_PBR_Renderer alpha-cutoff PSOs).
+    # Invariant: these triangles are the TAIL of `indices` — the opaque
+    # raster uses indices[:T-Tm] and the masked tail rasterizes through a
+    # K-layer pass with per-fragment alpha test (pbr/oit.py
+    # resolve_alpha_mask), then depth-merges into the visibility buffer.
+    mask_indices: Array = None             # (Tm, 3) int32 == indices[-Tm:]
     # Skinning (WriteSkinningData / HnSkinningComputation analogue).
     # joint_matrices are world-space skin matrices (jointWorld @ inverseBind
     # pre-multiplied on host); prev_* double-buffers them for motion vectors.
@@ -117,15 +123,27 @@ def build_scene(meshes: Sequence[Tuple[MeshData, np.ndarray, PBRMaterialBasicAtt
         mats.append(mat)
         v_off += nv
     node_m = jnp.asarray(np.stack(nodes))
+    idx_np = np.concatenate(idx)
+    tmat_np = np.concatenate(tmat)
+    tds_np = np.concatenate(tds)
+    # ALPHA_MODE_MASK triangles move to the tail so the opaque raster can
+    # exclude them with a static slice (see ScenePrimitives.mask_indices).
+    is_mask = np.array([int(m.alpha_mode) == 1 for m in mats])[tmat_np]
+    mask_idx = None
+    if is_mask.any():
+        order = np.argsort(is_mask, kind="stable")
+        idx_np, tmat_np, tds_np = idx_np[order], tmat_np[order], tds_np[order]
+        mask_idx = jnp.asarray(idx_np[-int(is_mask.sum()):])
     return ScenePrimitives(
         positions=jnp.asarray(np.concatenate(pos)),
         normals=jnp.asarray(np.concatenate(nrm)),
         uvs=jnp.asarray(np.concatenate(uv)),
         tangents=jnp.asarray(np.concatenate(tan)),
-        indices=jnp.asarray(np.concatenate(idx)),
+        indices=jnp.asarray(idx_np),
         vertex_node=jnp.asarray(np.concatenate(vnode)),
-        tri_material=jnp.asarray(np.concatenate(tmat)),
-        tri_double_sided=jnp.asarray(np.concatenate(tds)),
+        tri_material=jnp.asarray(tmat_np),
+        tri_double_sided=jnp.asarray(tds_np),
+        mask_indices=mask_idx,
         node_matrices=node_m,
         prev_node_matrices=node_m,
         materials=stack_materials(mats),
@@ -276,13 +294,19 @@ def _render_frame(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     world_pos, world_nrm, world_tan = transform_vertices(scene, info.model_transform)
     clip = m3.transform_points(world_pos, info.camera.view_proj)
 
-    # ---- rasterize ----------------------------------------------------------
-    tri_ds = scene.tri_double_sided
-    vb, _stats = rz.rasterize(clip, scene.indices, width=pad_w, height=pad_h,
-                              cfg=cfg, double_sided=tri_ds)
+    # ---- rasterize (opaque prefix; ALPHA_MODE_MASK tail resolves after) -----
+    n_op = scene.indices.shape[0] - (
+        scene.mask_indices.shape[0] if scene.mask_indices is not None else 0)
+    vb, _stats = rz.rasterize(clip, scene.indices[:n_op],
+                              width=pad_w, height=pad_h, cfg=cfg,
+                              double_sided=scene.tri_double_sided[:n_op])
 
     # ---- interpolate G-buffer inputs (single fused gather) ------------------
     winv = jnp.where(jnp.abs(clip[:, 3]) > 1e-12, 1.0 / clip[:, 3], 0.0)
+    if scene.mask_indices is not None:
+        from diligentfx_tpu.pbr.oit import resolve_alpha_mask
+        vb = resolve_alpha_mask(vb, clip, scene, winv,
+                                width=pad_w, height=pad_h, cfg=cfg)
     packed_attrs = jnp.concatenate([world_pos, world_nrm], axis=-1)
     interp = rz.interpolate_all(vb, scene.indices, packed_attrs, winv)
     pos_px = interp[..., 0:3]

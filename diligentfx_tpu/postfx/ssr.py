@@ -42,7 +42,16 @@ class SSRSettings(NamedTuple):
 
 
 class SSRState(NamedTuple):
-    radiance: Array   # (H, W, 4) rgb + confidence history
+    radiance: Array   # (h, w, 4) rgb + confidence history, at PROCESSING res
+
+
+def ssr_state_shape(height: int, width: int,
+                    resolution_divisor: int = 0,
+                    half_resolution: bool = False) -> Tuple[int, int]:
+    """Shape of the temporal history (temporal accumulation runs at the
+    march resolution, not full res — 16x fewer history gathers at d=4)."""
+    d = resolution_divisor or (2 if half_resolution else 1)
+    return (-(-height // d), -(-width // d))
 
 
 def build_min_depth_pyramid(depth: Array, levels: int = 5):
@@ -183,8 +192,7 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
     hit_uvz, hit = _march(mips, o_uvz, dir_uvz,
                           settings.max_traversal_intersections, thick)
 
-    refl = bilinear_sample(color, hit_uvz[..., :2]
-                           if not half_resolution else hit_uvz[..., :2])
+    refl = bilinear_sample(color, hit_uvz[..., :2])
     # fades: screen edge, ray facing camera, roughness
     edge = (saturate(10.0 * (0.5 - jnp.abs(hit_uvz[..., 0:1] - 0.5)))
             * saturate(10.0 * (0.5 - jnp.abs(hit_uvz[..., 1:2] - 0.5))))
@@ -201,17 +209,22 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
     blur_amt = saturate(rough_r * 4.0)
     radiance = radiance + (rad_blur - radiance) * blur_amt
 
-    if half_resolution:
-        radiance = jax.image.resize(radiance, (full_h, full_w, 4), method="bilinear")
-
-    # temporal accumulation
+    # temporal accumulation at the PROCESSING resolution — the history
+    # buffer and its reprojection gathers live on the (h, w) grid, which
+    # is d^2 cheaper than full-res accumulation and just as stable (the
+    # upsample after it smooths residual quarter-res ghosting).
     if state is not None and motion is not None:
-        xg = (jax.lax.broadcasted_iota(jnp.float32, (full_h, full_w), 1) + 0.5) / full_w
-        yg = (jax.lax.broadcasted_iota(jnp.float32, (full_h, full_w), 0) + 0.5) / full_h
-        prev_uv = jnp.stack([xg, yg], axis=-1) - motion
+        motion_r = motion[::d, ::d] if d > 1 else motion
+        xg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
+        yg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
+        prev_uv = jnp.stack([xg, yg], axis=-1) - motion_r
         hist = bilinear_sample(state.radiance, prev_uv)
         in_b = ((prev_uv[..., 0] >= 0) & (prev_uv[..., 0] <= 1)
                 & (prev_uv[..., 1] >= 0) & (prev_uv[..., 1] <= 1))[..., None]
         a = jnp.where(in_b, 1.0 - settings.temporal_stability_factor, 1.0)
         radiance = hist + (radiance - hist) * a
-    return radiance, SSRState(radiance=radiance)
+    new_state = SSRState(radiance=radiance)
+
+    if half_resolution:
+        radiance = jax.image.resize(radiance, (full_h, full_w, 4), method="bilinear")
+    return radiance, new_state
