@@ -462,3 +462,108 @@ def sample_cascaded_shadows(world_pos: Array, cam_view_z: Array,
 
     # outside all cascades → fully lit
     return jnp.where(info.in_any, lit, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Per-light (spot / point) shadow maps — the analogue of the HnLight shadow
+# atlas slices (HnLight.cpp shadow view/proj per light) managed by
+# HnShadowMapManager (include/HnShadowMapManager.hpp:47-66).  Spot lights use
+# one perspective slice; point lights use six 90-degree cube-face slices
+# selected per pixel by the dominant axis of the light→surface vector.
+# ---------------------------------------------------------------------------
+
+
+def spot_view_proj(position, direction, outer_angle, near: float = 0.05,
+                   far: float = 100.0) -> Array:
+    """World → spot-light clip (fov = 2 * outer cone angle, square aspect)."""
+    position = jnp.asarray(position, jnp.float32)
+    direction = jnp.asarray(direction, jnp.float32)
+    view = m3.look_at(position, position + direction)
+    proj = m3.perspective(2.0 * float(outer_angle), 1.0, near, far)
+    return m3.mul44(view, proj)
+
+
+_CUBE_FACE_DIRS = (
+    (1.0, 0.0, 0.0), (-1.0, 0.0, 0.0),
+    (0.0, 1.0, 0.0), (0.0, -1.0, 0.0),
+    (0.0, 0.0, 1.0), (0.0, 0.0, -1.0),
+)
+
+
+def point_view_projs(position, near: float = 0.05, far: float = 100.0) -> Array:
+    """World → clip for the 6 cube faces of a point light → (6, 4, 4).
+    Face order +X -X +Y -Y +Z -Z (matching `point_shadow_face`)."""
+    import math
+    position = jnp.asarray(position, jnp.float32)
+    proj = m3.perspective(math.pi / 2.0, 1.0, near, far)
+    vps = []
+    for d in _CUBE_FACE_DIRS:
+        dv = jnp.asarray(d, jnp.float32)
+        vps.append(m3.mul44(m3.look_at(position, position + dv), proj))
+    return jnp.stack(vps)
+
+
+def point_shadow_face(v: Array) -> Array:
+    """Cube-face index (0..5) from the light→surface vector by dominant axis."""
+    av = jnp.abs(v)
+    axis = jnp.argmax(av, axis=-1)                       # 0=x, 1=y, 2=z
+    comp = jnp.take_along_axis(v, axis[..., None], axis=-1)[..., 0]
+    return (axis * 2 + (comp < 0).astype(jnp.int32)).astype(jnp.int32)
+
+
+def render_light_shadow_maps(world_positions: Array, indices: Array,
+                             view_projs: Array, *, shadow_map_size: int,
+                             cfg: RasterizerConfig = RasterizerConfig(),
+                             backend: str = "auto") -> Array:
+    """Depth-only raster per slice: view_projs (K, 4, 4) → (K, S, S) depth
+    in [0, 1], background (no caster) = 1.  One slice per spot light, six
+    consecutive slices per point light (HnRenderShadowsTask analogue)."""
+    maps = []
+    for i in range(view_projs.shape[0]):
+        clip = m3.transform_points(world_positions, view_projs[i])
+        vb, _ = rz.rasterize(
+            clip, indices, width=shadow_map_size, height=shadow_map_size,
+            cfg=cfg, double_sided=jnp.ones((indices.shape[0],), bool),
+            backend=backend)
+        maps.append(jnp.where(vb.tri_id >= 0, jnp.clip(vb.depth, 0.0, 1.0), 1.0))
+    return jnp.stack(maps)
+
+
+def sample_light_shadow(world_pos: Array, view_projs: Array, maps: Array,
+                        face_idx: Optional[Array] = None,
+                        pcf_kernel_size: int = 3,
+                        depth_bias: float = 2e-3) -> Array:
+    """Shadow factor from per-light slices.
+
+    world_pos (..., 3); view_projs (F, 4, 4) — the light's own slices (F=1
+    spot, F=6 point); maps (F, S, S); face_idx (...,) int32 per-pixel slice
+    (None = slice 0).  Points outside the slice frustum are lit.  Reuses the
+    PCF bilinear-tap filter (PCF.fxh analogue) with the slice as "cascade"."""
+    f = view_projs.shape[0]
+    # project by every slice (tiny einsum), select per pixel — avoids a
+    # per-pixel (4,4) matrix gather
+    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    clip_all = jnp.einsum("...i,fij->f...j", ph, view_projs,
+                          precision=jax.lax.Precision.HIGHEST)  # (F,...,4)
+    if face_idx is None:
+        clip = clip_all[0]
+        fi = jnp.zeros(world_pos.shape[:-1], jnp.int32)
+    else:
+        fi = face_idx
+        onehot = jax.nn.one_hot(face_idx, f, axis=0, dtype=world_pos.dtype)
+        clip = jnp.sum(clip_all * onehot[..., None], axis=0)
+    w = clip[..., 3]
+    valid = w > 1e-6
+    wi = 1.0 / jnp.maximum(w, 1e-6)
+    u = clip[..., 0] * wi * 0.5 + 0.5
+    v = 0.5 - clip[..., 1] * wi * 0.5
+    z = clip[..., 2] * wi
+    inside = (valid & (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
+              & (z >= 0) & (z <= 1))
+    info = CascadeSamplingInfo(
+        uv=jnp.stack([u, v], axis=-1), depth=z[..., None], cascade_idx=fi,
+        min_dist_to_margin=jnp.zeros_like(z[..., None]),
+        in_any=inside)
+    lit = filter_shadow_pcf(maps, info, kernel_size=pcf_kernel_size,
+                            depth_bias=depth_bias)
+    return jnp.where(inside, lit, 1.0)

@@ -159,7 +159,8 @@ class HnTaskManager:
 
     def execute(self, scene: ScenePrimitives, info: RenderInfo,
                 state: FrameState, *, width: int, height: int,
-                settings: FrameSettings = FrameSettings()) -> FrameOutput:
+                settings: FrameSettings = FrameSettings(),
+                light_shadow_kinds: tuple = ()) -> FrameOutput:
         return _execute_frame(
             scene, info, state, self.renderer.ibl_maps, self.renderer.env_oct,
             self.jitter_seq, settings, self.atlas, self.atmosphere_lut,
@@ -167,19 +168,24 @@ class HnTaskManager:
             use_ibl=self.renderer.ci.enable_ibl,
             use_textures=self.atlas is not None,
             pcf_kernel_size=self.renderer.ci.pcf_kernel_size,
-            enable_clearcoat=self.renderer.ci.enable_clear_coat)
+            enable_clearcoat=self.renderer.ci.enable_clear_coat,
+            ssr_steps=int(settings.ssr.max_traversal_intersections),
+            light_shadow_kinds=light_shadow_kinds)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "cfg", "ci", "use_ibl", "use_textures",
-    "pcf_kernel_size", "enable_clearcoat"))
+    "pcf_kernel_size", "enable_clearcoat", "ssr_steps",
+    "light_shadow_kinds"))
 def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
                    env_oct, jitter_seq, settings: FrameSettings, atlas,
                    atmosphere_lut, *,
                    width: int, height: int, cfg: RasterizerConfig,
                    ci: TaskManagerCreateInfo, use_ibl: bool,
                    use_textures: bool, pcf_kernel_size: int,
-                   enable_clearcoat: bool = False) -> FrameOutput:
+                   enable_clearcoat: bool = False,
+                   ssr_steps: int = 48,
+                   light_shadow_kinds: tuple = ()) -> FrameOutput:
     # ---- BeginFrame: jitter the camera (TAA), frame constants ---------------
     cam = info.camera
     first_frame = state.frame_index == 0
@@ -209,7 +215,8 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
                         pcf_kernel_size=pcf_kernel_size,
                         atlas=atlas, use_textures=use_textures,
                         enable_clearcoat=enable_clearcoat,
-                        fast_env=ci.fast_env_taps)
+                        fast_env=ci.fast_env_taps,
+                        light_shadow_kinds=light_shadow_kinds)
 
     # ---- PostFXContext -------------------------------------------------------
     closest_motion = dilate_closest_motion(gb.depth, gb.motion)
@@ -243,7 +250,8 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
         ssr_rad, new_ssr = fx_ssr.compute_ssr(
             refl_src, gb.depth, gb.normal_view,
             gb.material_data[..., 1:2], info.camera, state.frame_index,
-            settings.ssr, state=state.ssr, motion=gb.motion,
+            settings.ssr._replace(max_traversal_intersections=ssr_steps),
+            state=state.ssr, motion=gb.motion,
             half_resolution=ci.ssr_half_resolution,
             resolution_divisor=ci.ssr_resolution_divisor)
 

@@ -111,6 +111,12 @@ def look_at(eye, target, up=(0.0, 1.0, 0.0)) -> Array:
     up = jnp.asarray(up, jnp.float32)
     fwd = target - eye
     fwd = fwd / jnp.linalg.norm(fwd)
+    # degenerate up (parallel to fwd, e.g. a light looking straight down):
+    # fall back to +Z so shadow/cube-face views stay well-defined
+    fallback = jnp.where(jnp.abs(fwd[2]) > 0.9,
+                         jnp.array([1.0, 0.0, 0.0], jnp.float32),
+                         jnp.array([0.0, 0.0, 1.0], jnp.float32))
+    up = jnp.where(jnp.abs(jnp.dot(fwd, up)) > 0.999, fallback, up)
     # Right-handed: right = fwd × up (camera -Z = fwd)
     right = jnp.cross(fwd, up)
     right = right / jnp.linalg.norm(right)

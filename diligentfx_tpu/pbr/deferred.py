@@ -49,14 +49,16 @@ class GBufferData(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "cfg", "use_ibl", "use_lights", "shadow_mode",
-    "pcf_kernel_size", "use_textures", "enable_clearcoat", "fast_env"))
+    "pcf_kernel_size", "use_textures", "enable_clearcoat", "fast_env",
+    "light_shadow_kinds"))
 def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                    *, width: int, height: int, cfg: RasterizerConfig,
                    use_ibl: bool = True, use_lights: bool = True,
                    shadow_mode=None, pcf_kernel_size: int = 3,
                    atlas=None, use_textures: bool = False,
                    enable_clearcoat: bool = False,
-                   fast_env: bool = False) -> GBufferData:
+                   fast_env: bool = False,
+                   light_shadow_kinds: tuple = ()) -> GBufferData:
     pad_w, pad_h = rz.pad_viewport(width, height, cfg)
 
     world_pos, world_nrm, _ = transform_vertices(scene, info.model_transform)
@@ -285,17 +287,48 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                                    with_clearcoat=clearcoat is not None)
     if use_lights:
         shadow_factors = None
+        csm_factor = None
         if shadow_mode is not None:
             from diligentfx_tpu.components.shadow_map_manager import (
                 sample_cascaded_shadows)
             cam_view_z = -m3.transform_points(pos_px, info.camera.view)[..., 2]
-            factor = sample_cascaded_shadows(
+            csm_factor = sample_cascaded_shadows(
                 pos_px, cam_view_z, info.shadow_attribs, info.shadow_maps,
                 mode=shadow_mode, pcf_kernel_size=pcf_kernel_size,
                 moments=info.shadow_moments)
-            ones = jnp.ones_like(factor)
+        if light_shadow_kinds:
+            # per-light dispatch (HnLight shadow slices); the kinds tuple is
+            # static, so each light gets exactly the sampling code it needs
+            from diligentfx_tpu.components import shadow_map_manager as smm
+            ones = jnp.ones(pos_px.shape[:-1], jnp.float32)
+            factors, base = [], 0
+            for i in range(info.lights.count):
+                kind = (light_shadow_kinds[i]
+                        if i < len(light_shadow_kinds) else "none")
+                if kind == "csm" and csm_factor is not None:
+                    factors.append(csm_factor)
+                elif kind == "spot":
+                    factors.append(smm.sample_light_shadow(
+                        pos_px, info.light_shadow_view_projs[base:base + 1],
+                        info.light_shadow_maps[base:base + 1],
+                        pcf_kernel_size=pcf_kernel_size))
+                    base += 1
+                elif kind == "point":
+                    face = smm.point_shadow_face(
+                        pos_px - info.lights.position[i])
+                    factors.append(smm.sample_light_shadow(
+                        pos_px, info.light_shadow_view_projs[base:base + 6],
+                        info.light_shadow_maps[base:base + 6], face_idx=face,
+                        pcf_kernel_size=pcf_kernel_size))
+                    base += 6
+                else:
+                    factors.append(ones)
+            shadow_factors = jnp.stack(factors, axis=0)
+        elif csm_factor is not None:
+            ones = jnp.ones_like(csm_factor)
             shadow_factors = jnp.stack(
-                [jnp.where(info.lights.shadow_map_index[i] >= 0, factor, ones)
+                [jnp.where(info.lights.shadow_map_index[i] >= 0,
+                           csm_factor, ones)
                  for i in range(info.lights.count)], axis=0)
         lighting = sh.apply_punctual_lights(shading, info.lights, lighting,
                                             shadow_factors=shadow_factors)

@@ -162,6 +162,11 @@ class RenderInfo(NamedTuple):
     shadow_attribs: object = None       # components.shadow_map_manager.ShadowMapAttribs
     shadow_maps: Array = None           # (C, S, S) depth
     shadow_moments: Array = None        # (C, S, S, M) for VSM/EVSM modes
+    # Per-light spot/point shadow slices (HnLight shadow atlas analogue;
+    # see shadow_map_manager.render_light_shadow_maps). Layout follows the
+    # static `light_shadow_kinds` tuple: 1 slice per spot, 6 per point.
+    light_shadow_maps: Array = None        # (K, S, S) depth
+    light_shadow_view_projs: Array = None  # (K, 4, 4)
     # Previous frame's (unjittered) view-proj for motion vectors.
     prev_view_proj: Array = None
 

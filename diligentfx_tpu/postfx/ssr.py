@@ -73,49 +73,62 @@ def build_min_depth_pyramid(depth: Array, levels: int = 5):
 
 def _march(depth_mips, origin_uvz: Array, dir_uvz: Array, steps: int,
            thickness_ndc: Array, coarse_mip: int = 2) -> Tuple[Array, Array]:
-    """Fixed-budget coarse march (at `coarse_mip`) + binary refinement.
-    origin/dir in (u, v, ndc_z) space.  Returns (hit_uvz, hit_mask)."""
+    """Fixed-budget coarse march + secant refinement.
+    origin/dir in (u, v, ndc_z) space.  Returns (hit_uvz, hit_mask).
+
+    TPU shape: the sample positions before the first crossing are a fixed
+    affine sequence o + d*(i+1)*dt, so the whole march is ONE batched
+    (S, h, w) gather instead of S sequential point samples in a fori_loop —
+    gathers are the cost unit here (PERF_NOTES.md) and one big gather runs
+    at wall rate while a sequential loop pays per-step dispatch.  The
+    reference's per-ray variable-length hi-Z DDA (SSR README:70) early-exits
+    instead; uniform work + argmax is the SPMD equivalent.  Refinement is a
+    secant step on the already-gathered bracket values plus one bilinear tap
+    on the fine buffer (vs a 6-iteration binary search = 6 more gathers)."""
+    from diligentfx_tpu.ops.sampling import point_sample
     coarse = depth_mips[min(coarse_mip, len(depth_mips) - 1)]
     fine = depth_mips[0]
 
-    t = jnp.zeros(origin_uvz.shape[:-1], jnp.float32)
     dt = 1.0 / steps
-    hit_t = jnp.ones_like(t)
-    hit = jnp.zeros(t.shape, bool)
+    ts = jnp.arange(steps + 1, dtype=jnp.float32) * dt               # (S+1,)
+    p = origin_uvz[None] + dir_uvz[None] * ts[:, None, None, None]   # (S+1,h,w,3)
+    d = point_sample(coarse[..., None], p[..., :2])[..., 0]          # (S+1,h,w)
+    f = p[..., 2] - d
+    inside = ((p[..., 0] > 0) & (p[..., 0] < 1)
+              & (p[..., 1] > 0) & (p[..., 1] < 1))
+    # a hit is a true front-to-back CROSSING: in front of the depth at the
+    # previous sample (f <= 0), behind it within thickness at this one.
+    # This also kills self-intersection with the ray's own sloped surface
+    # (those rays are born with f > 0 and never produce a sign change).
+    # The acceptance window scales with the per-step z advance: an immediate
+    # opaque crossing overshoots by at most one step of ray z, while passing
+    # BEHIND a thin silhouette jumps by the (much larger) depth gap.
+    step_dz = jnp.abs(dir_uvz[..., 2]) * dt
+    cross = ((f[1:] > 0) & (f[:-1] <= 0)
+             & (f[1:] < thickness_ndc + step_dz) & inside[1:])
+    hit = cross.any(axis=0)
+    i0 = jnp.argmax(cross, axis=0)                                   # (h,w)
 
-    def step_fn(i, carry):
-        t, hit_t, hit = carry
-        tc = t + dt
-        p = origin_uvz + dir_uvz * tc[..., None]
-        # nearest tap during the coarse march (min-depth mip is conservative);
-        # the binary refinement below uses bilinear on the fine buffer
-        from diligentfx_tpu.ops.sampling import point_sample
-        d = point_sample(coarse[..., None], p[..., :2])[..., 0]
-        below = (p[..., 2] > d) & (p[..., 2] < d + thickness_ndc)
-        inside = ((p[..., 0] > 0) & (p[..., 0] < 1)
-                  & (p[..., 1] > 0) & (p[..., 1] < 1))
-        new_hit = below & inside & ~hit
-        hit_t = jnp.where(new_hit, tc, hit_t)
-        hit = hit | new_hit
-        t = jnp.where(hit, t, tc)
-        return t, hit_t, hit
+    # secant on the (already gathered) coarse bracket f(t_i0) <= 0 < f(t_i0+1)
+    f0 = jnp.take_along_axis(f, i0[None], 0)[0]
+    f1 = jnp.take_along_axis(f, (i0 + 1)[None], 0)[0]
+    frac = jnp.where(jnp.abs(f1 - f0) > 1e-12, -f0 / (f1 - f0), 1.0)
+    t_lo = i0.astype(jnp.float32) * dt
+    t_hit = t_lo + jnp.clip(frac, 0.0, 1.0) * dt
 
-    t, hit_t, hit = jax.lax.fori_loop(0, steps, step_fn, (t, hit_t, hit))
-
-    # binary refinement on the fine buffer
-    lo = jnp.maximum(hit_t - dt, 0.0)
-    hi = hit_t
-
-    def refine(i, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        p = origin_uvz + dir_uvz * mid[..., None]
-        d = bilinear_sample(fine[..., None], p[..., :2])[..., 0]
-        below = p[..., 2] > d
-        return jnp.where(below, lo, mid), jnp.where(below, mid, hi)
-
-    lo, hi = jax.lax.fori_loop(0, 6, refine, (lo, hi))
-    hit_uvz = origin_uvz + dir_uvz * hi[..., None]
+    # fine-buffer correction: ONE batched bilinear gather taps the fine depth
+    # at both bracket ends; a second secant runs purely on fine values
+    p_pair = (origin_uvz[None]
+              + dir_uvz[None] * jnp.stack([t_lo, t_hit])[..., None])  # (2,h,w,3)
+    d_fine = bilinear_sample(fine[..., None], p_pair[..., :2])[..., 0]
+    f_lo = p_pair[0, ..., 2] - d_fine[0]
+    f_hi = p_pair[1, ..., 2] - d_fine[1]
+    denom = f_hi - f_lo
+    frac2 = jnp.clip(jnp.where(jnp.abs(denom) > 1e-12, -f_lo / denom, 1.0),
+                     0.0, 1.0)
+    bracket = (f_hi > 0) & (f_lo < 0)
+    t2 = jnp.where(bracket, t_lo + frac2 * (t_hit - t_lo), t_hit)
+    hit_uvz = origin_uvz + dir_uvz * t2[..., None]
     return hit_uvz, hit
 
 
@@ -162,9 +175,18 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
     h_vs = (h_ts[..., 0:1] * t_b + h_ts[..., 1:2] * b_b + h_ts[..., 2:3] * n)
     r_dir = normalize(reflect(-v, normalize(h_vs)))
 
-    # endpoints in uv/ndc-z space
+    # endpoints in uv/ndc-z space: extend the ray to the near/far plane
+    # (the reference's hi-Z DDA walks the full screen; a short fixed-length
+    # ray can't reach distant reflectors), then clip to the screen rect
+    # below so every march sample lands on-screen.
     p0 = pos
-    ray_len = jnp.maximum(-p0[..., 2:3] * 0.75, 0.5)
+    rz_d = r_dir[..., 2]
+    t_far = jnp.where(rz_d < -1e-6,
+                      (-(camera.far_z * 0.99) - p0[..., 2]) / rz_d, jnp.inf)
+    t_near = jnp.where(rz_d > 1e-6,
+                       (-(camera.near_z * 1.01) - p0[..., 2]) / rz_d, jnp.inf)
+    ray_len = jnp.clip(jnp.minimum(t_far, t_near), 0.1,
+                       2.0 * camera.far_z)[..., None]
     p1 = pos + r_dir * ray_len
 
     def to_uvz(p_vs):
@@ -182,6 +204,16 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
     o_uvz = to_uvz(p0)
     e_uvz = to_uvz(p1)
     dir_uvz = e_uvz - o_uvz
+    # clip the uv segment to the screen rect: concentrates the fixed march
+    # budget on the visible portion of the ray
+    eps = 1e-6
+    du, dvv = dir_uvz[..., 0], dir_uvz[..., 1]
+    sx = jnp.where(du > eps, (1.0 - o_uvz[..., 0]) / du,
+                   jnp.where(du < -eps, -o_uvz[..., 0] / du, jnp.inf))
+    sy = jnp.where(dvv > eps, (1.0 - o_uvz[..., 1]) / dvv,
+                   jnp.where(dvv < -eps, -o_uvz[..., 1] / dvv, jnp.inf))
+    s = jnp.clip(jnp.minimum(jnp.minimum(sx, sy), 1.0), 1e-4, 1.0)
+    dir_uvz = dir_uvz * s[..., None]
     # small offset off the surface to avoid self-intersection
     o_uvz = o_uvz + dir_uvz * 0.01
 
@@ -191,6 +223,13 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
         camera.far_z - camera.near_z, 1e-3)
     hit_uvz, hit = _march(mips, o_uvz, dir_uvz,
                           settings.max_traversal_intersections, thick)
+
+    # reject hits whose surface doesn't face the ray (FFX-SSSR style): kills
+    # the false crossings a grazing ray makes skimming its own reflector
+    # (the point-sampled depth staircase oscillates around such rays)
+    from diligentfx_tpu.ops.sampling import point_sample
+    n_hit = point_sample(normal_r, hit_uvz[..., :2])
+    hit = hit & (jnp.sum(n_hit * r_dir, axis=-1) < -0.05)
 
     refl = bilinear_sample(color, hit_uvz[..., :2])
     # fades: screen edge, ray facing camera, roughness

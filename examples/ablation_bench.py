@@ -49,6 +49,7 @@ def main():
     base = dict(enable_ssao=True, ssao_half_resolution=True,
                 ssao_num_slices=2, ssao_num_steps=4, ssao_use_pallas=True,
                 enable_ssr=True, ssr_half_resolution=True,
+                ssr_resolution_divisor=4, fast_env_taps=True,
                 enable_taa=True, enable_bloom=True, enable_dof=False,
                 taa_feature_flags=flags)
     variants = {

@@ -208,6 +208,9 @@ def test_ssr_mirror_floor_reflects():
     assert floor_conf.max() > 0.3
     hit_px = a[H // 2:][floor_conf > 0.3]
     assert hit_px[:, 0].mean() > hit_px[:, 2].mean()  # reflects orange wall
+    # ...with REAL wall energy, not self-intersection leakage: the wall is
+    # (5, 3, 1), so confident hits must carry substantial red radiance
+    assert hit_px[:, 0].mean() > 1.0
 
 
 # ---------------------------------------------------------------------------
