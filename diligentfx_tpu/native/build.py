@@ -5,16 +5,18 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SRC = os.path.join(HERE, "src", "dfx_native.cpp")
+SRCS = [os.path.join(HERE, "src", "dfx_native.cpp"),
+        os.path.join(HERE, "src", "radient_c.cpp")]
 OUT = os.path.join(HERE, "libdfx_native.so")
 
 
 def build(force: bool = False) -> str:
     if (not force and os.path.exists(OUT)
-            and os.path.getmtime(OUT) >= os.path.getmtime(SRC)):
+            and all(os.path.getmtime(OUT) >= os.path.getmtime(s)
+                    for s in SRCS)):
         return OUT
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-           "-o", OUT, SRC]
+           "-o", OUT] + SRCS
     subprocess.run(cmd, check=True)
     return OUT
 
