@@ -220,8 +220,17 @@ def _decode_image(blob: bytes, uri: str = "") -> Optional[np.ndarray]:
             return read_png(path)
         finally:
             os.unlink(path)
-    # JPEG or other: unsupported without external deps → checkerboard stub
-    return None
+    # JPEG (and anything else PIL knows): decode via Pillow when present;
+    # otherwise the caller substitutes a neutral stub
+    try:
+        import io
+
+        from PIL import Image
+        with Image.open(io.BytesIO(blob)) as im:
+            im = im.convert("RGBA")
+            return np.asarray(im, np.uint8).astype(np.float32) / 255.0
+    except Exception:
+        return None
 
 
 def _tex_ref(doc: dict, info: Optional[dict]) -> Optional[GLTFTextureRef]:

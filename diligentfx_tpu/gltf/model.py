@@ -8,7 +8,7 @@ Known round-1 limitations, handled honestly:
   * ALPHA_MODE_MASK renders as opaque (alpha test needs raster-time texture
     fetch; the visibility buffer defers material evaluation).  BLEND renders
     through OIT (see pbr/oit.py) when enabled, else opaque.
-  * JPEG images decode to a neutral 50% gray (no external codecs available).
+  * JPEG images decode through Pillow when available, else a neutral gray.
 """
 from __future__ import annotations
 

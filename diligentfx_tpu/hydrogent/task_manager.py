@@ -135,8 +135,11 @@ class HnTaskManager:
         self.jitter_seq = taa_jitter_sequence(16)
         self.atmosphere_lut = None
         if ci.enable_light_scattering:
-            from diligentfx_tpu.postfx.epipolar import precompute_optical_depth_lut
-            self.atmosphere_lut = precompute_optical_depth_lut()
+            from diligentfx_tpu.postfx.epipolar import (
+                precompute_multiple_scattering_lut,
+                precompute_optical_depth_lut)
+            od = precompute_optical_depth_lut()
+            self.atmosphere_lut = (od, precompute_multiple_scattering_lut(od))
 
     def initial_state(self, width: int, height: int) -> FrameState:
         z2 = jnp.zeros((height, width, 2), jnp.float32)
@@ -299,9 +302,10 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
         eps = EpipolarSettings(num_epipolar_slices=ci.epipolar_slices,
                                max_samples_in_slice=ci.epipolar_samples,
                                num_ray_march_steps=ci.epipolar_march_steps)
+        od_lut, ms_lut = atmosphere_lut
         scat = apply_light_scattering(color, gb.depth, info.camera, sun_dir,
-                                      atmosphere_lut, eps,
-                                      shadow_data=shadow_data)
+                                      od_lut, eps,
+                                      shadow_data=shadow_data, ms_lut=ms_lut)
         color = scat.color
 
     # ---- Auto exposure (UpdateAverageLuminance analogue) ------------------------

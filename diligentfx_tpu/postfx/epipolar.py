@@ -90,6 +90,87 @@ def precompute_optical_depth_lut(height_res: int = 64, angle_res: int = 128,
     return jnp.stack([odr, odm], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("height_res", "angle_res",
+                                              "num_dirs", "steps"))
+def precompute_multiple_scattering_lut(optical_lut: Array,
+                                       height_res: int = 32,
+                                       angle_res: int = 32,
+                                       num_dirs: int = 64,
+                                       steps: int = 20) -> Array:
+    """(height_res, angle_res, 3) isotropic multiple-scattering transfer
+    Psi_ms(altitude, sun cos-zenith) — the analogue of the reference's
+    precomputed multiple-scattering LUTs (EpipolarLightScattering
+    precompute/*.fx 4D tables), in the production-proven 2D formulation
+    (Hillaire 2020, UE Sky Atmosphere): second-order inscatter L2 and the
+    isotropic transfer factor f_ms are integrated over a uniform sphere of
+    directions, and the geometric series of higher orders closes to
+    Psi = L2 / (1 - f_ms)."""
+    h_top = ATMOSPHERE_TOP - EARTH_RADIUS
+    hs = (jnp.arange(height_res) + 0.5) / height_res
+    hs = hs * hs * h_top
+    mu = (jnp.arange(angle_res) + 0.5) / angle_res * 2.0 - 1.0
+    h, mu_s = jnp.meshgrid(hs, mu, indexing="ij")         # (H, A)
+
+    # Fibonacci sphere directions (D, 3): y = zenith component
+    k = jnp.arange(num_dirs, dtype=jnp.float32)
+    ga = PI * (3.0 - jnp.sqrt(5.0))
+    y = 1.0 - 2.0 * (k + 0.5) / num_dirs
+    rad = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
+    dirs_y = y                                            # cos zenith of ray
+    # azimuth only matters via nothing (the integrand is azimuth-symmetric
+    # once T_sun uses the local sun zenith), so dirs reduce to their zenith
+    del ga, rad
+
+    r0 = EARTH_RADIUS + h                                 # (H, A)
+
+    def ray_exit(c):
+        b = r0 * c
+        disc_top = b * b - (r0 * r0 - ATMOSPHERE_TOP * ATMOSPHERE_TOP)
+        t_top = -b + jnp.sqrt(jnp.maximum(disc_top, 0.0))
+        disc_g = b * b - (r0 * r0 - EARTH_RADIUS * EARTH_RADIUS)
+        hits_g = (disc_g > 0.0) & (c < 0.0)
+        t_g = -b - jnp.sqrt(jnp.maximum(disc_g, 0.0))
+        return jnp.where(hits_g, jnp.maximum(t_g, 0.0), t_top)
+
+    uniform_phase = 1.0 / (4.0 * PI)
+
+    def one_dir(c):                                       # c: scalar cos zenith
+        c = jnp.broadcast_to(c, h.shape)
+        t_end = ray_exit(c)
+        ds = t_end / steps
+
+        def body(i, carry):
+            l2, fms, tau = carry
+            t = (i + 0.5) * ds
+            r = jnp.sqrt(r0 * r0 + t * t + 2.0 * r0 * t * c)
+            alt = r - EARTH_RADIUS
+            dr, dm = _density(alt)
+            sig_s = (BETA_RAYLEIGH * dr[..., None]
+                     + BETA_MIE * dm[..., None])          # (H, A, 3)
+            sig_t = (BETA_RAYLEIGH * dr[..., None]
+                     + BETA_MIE_EXT * dm[..., None])
+            trans = jnp.exp(-tau)
+            t_sun = _transmittance_to_sun(optical_lut, alt, mu_s)
+            seg = ds[..., None]
+            l2 = l2 + trans * sig_s * t_sun * uniform_phase * seg
+            fms = fms + trans * sig_s * uniform_phase * seg
+            tau = tau + sig_t * seg
+            return l2, fms, tau
+
+        z3 = jnp.zeros(h.shape + (3,))
+        l2, fms, _ = jax.lax.fori_loop(0, steps, body, (z3, z3, z3))
+        return l2, fms
+
+    l2s, fmss = jax.vmap(one_dir)(dirs_y)                 # (D, H, A, 3)
+    l2 = l2s.mean(0) * (4.0 * PI)      # sphere integral of the dir average
+    fms = fmss.mean(0) * (4.0 * PI)
+    return l2 / jnp.maximum(1.0 - fms, 1e-3)
+
+
+def _sample_ms_lut(ms_lut: Array, h, cos_sun_zenith):
+    return bilinear_sample(ms_lut, _lut_uv(h, cos_sun_zenith))
+
+
 def _lut_uv(h, cos_zenith):
     h_top = ATMOSPHERE_TOP - EARTH_RADIUS
     u = (cos_zenith + 1.0) * 0.5
@@ -117,8 +198,10 @@ def phase_mie(c, g):
 
 
 def _inscatter_march(lut, origins, directions, lengths, sun_dir, s: EpipolarSettings,
-                     shadow_fn=None):
-    """Single-scattering inscatter + transmittance along rays.
+                     shadow_fn=None, ms_lut=None):
+    """Single-scattering inscatter + transmittance along rays, plus the
+    isotropic multiple-scattering ambient term when `ms_lut` is given
+    (precompute_multiple_scattering_lut).
 
     origins/directions (..., 3) world; lengths (...,); returns
     (inscatter (..., 3), transmittance (..., 3))."""
@@ -163,6 +246,13 @@ def _inscatter_march(lut, origins, directions, lengths, sun_dir, s: EpipolarSett
                    + BETA_MIE * dm[..., None] * ph_m)
         inscatter = inscatter + (t_cam * t_sun * scatter * vis
                                  * (ds * s.scene_scale)[..., None])
+        if ms_lut is not None:
+            # multiple scattering: uniform-phase ambient transfer Psi_ms
+            # (not shadowed — higher orders arrive from every direction)
+            psi = _sample_ms_lut(ms_lut, h, jnp.broadcast_to(cos_z, h.shape))
+            sig_s = (BETA_RAYLEIGH * dr[..., None] + BETA_MIE * dm[..., None])
+            inscatter = inscatter + (t_cam * sig_s * psi
+                                     * (ds * s.scene_scale)[..., None])
         return inscatter, tau_r, tau_m
 
     shape = lengths.shape
@@ -201,7 +291,7 @@ class EpipolarOutput(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("settings_static",))
 def _apply_impl(color, depth, camera, sun_dir, sun_intensity_rgb, lut,
-                settings, shadow_data, *, settings_static):
+                settings, shadow_data, ms_lut=None, *, settings_static):
     num_slices, num_samples, _steps = settings_static
     h, w = depth.shape
     # rebind the structural ints as Python values (they arrive traced in the
@@ -243,7 +333,8 @@ def _apply_impl(color, depth, camera, sun_dir, sun_intensity_rgb, lut,
             return jnp.where(info.in_any, lit, 1.0)
 
     inscatter_e, trans_e = _inscatter_march(lut, origins, dirs, lengths,
-                                            sun_dir, s, shadow_fn)
+                                            sun_dir, s, shadow_fn,
+                                            ms_lut=ms_lut)
 
     # ---- unwarp epipolar → screen (depth-break-aware bilinear) -------------
     xg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
@@ -315,7 +406,7 @@ def apply_light_scattering(color: Array, depth: Array, camera: CameraAttribs,
                            sun_dir, lut: Array,
                            settings: EpipolarSettings = EpipolarSettings(),
                            sun_intensity_rgb=(1.0, 0.96, 0.90),
-                           shadow_data=None) -> EpipolarOutput:
+                           shadow_data=None, ms_lut=None) -> EpipolarOutput:
     """Full effect (PrepareForNewFrame + PerformPostProcessing + RenderSun,
     EpipolarLightScattering.cpp:2099-2789)."""
     sun_dir = m3.normalize(jnp.asarray(sun_dir, jnp.float32))
@@ -323,7 +414,8 @@ def apply_light_scattering(color: Array, depth: Array, camera: CameraAttribs,
               settings.num_ray_march_steps)
     return _apply_impl(color, depth, camera, sun_dir,
                        jnp.asarray(sun_intensity_rgb, jnp.float32), lut,
-                       settings, shadow_data, settings_static=static)
+                       settings, shadow_data, ms_lut,
+                       settings_static=static)
 
 
 def _uv_depth_to_world(uv: Array, depth: Array, camera: CameraAttribs) -> Array:

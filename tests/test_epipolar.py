@@ -95,3 +95,40 @@ def test_god_rays_shadowing(lut):
     shd = float(np.asarray(out_shadow.inscatter).mean())
     assert np.isfinite(shd)
     assert shd < lit * 0.9, (shd, lit)
+
+
+def test_multiple_scattering_lut():
+    from diligentfx_tpu.postfx.epipolar import (
+        precompute_multiple_scattering_lut, precompute_optical_depth_lut)
+    od = precompute_optical_depth_lut(height_res=16, angle_res=16, steps=16)
+    psi = precompute_multiple_scattering_lut(od, height_res=8, angle_res=8,
+                                             num_dirs=16, steps=8)
+    p = np.asarray(psi)
+    assert p.shape == (8, 8, 3)
+    assert np.isfinite(p).all() and (p >= 0).all()
+    # more ambient light with the sun up than below the horizon
+    assert p[:, -1].mean() > p[:, 0].mean() * 2.0
+    # Rayleigh multiple scattering is blue-ish (b channel strongest)
+    up = p[0, -1]
+    assert up[2] > up[0]
+
+
+def test_ms_lut_brightens_sky():
+    from diligentfx_tpu.postfx.epipolar import (
+        EpipolarSettings, apply_light_scattering,
+        precompute_multiple_scattering_lut, precompute_optical_depth_lut)
+    od = precompute_optical_depth_lut(height_res=16, angle_res=32, steps=16)
+    ms = precompute_multiple_scattering_lut(od, height_res=8, angle_res=8,
+                                            num_dirs=16, steps=8)
+    cam = make_camera()
+    color = jnp.zeros((H, W, 3), jnp.float32)
+    depth = jnp.ones((H, W), jnp.float32)      # sky everywhere
+    s = EpipolarSettings(num_epipolar_slices=32, max_samples_in_slice=32,
+                         num_ray_march_steps=8)
+    sun = [0.3, -0.5, -0.8]
+    out0 = apply_light_scattering(color, depth, cam, sun, od, s)
+    out1 = apply_light_scattering(color, depth, cam, sun, od, s, ms_lut=ms)
+    a0 = np.asarray(out0.color)
+    a1 = np.asarray(out1.color)
+    assert np.isfinite(a1).all()
+    assert a1.mean() > a0.mean()               # multiple scattering adds light
