@@ -339,3 +339,24 @@ def smith_ggx_sample_visible_normal(view_ts: Array, ax, ay, u1, u2) -> Array:
     n = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * v
     n = jnp.stack([ax * n[..., 0], ay * n[..., 1], jnp.maximum(n[..., 2], 0.0)], axis=-1)
     return normalize(n)
+
+
+def _cheb_basis(x: Array, k: int) -> Array:
+    """Chebyshev polynomials T_0..T_{k-1} of 2x-1 → (..., k)."""
+    t = 2.0 * x - 1.0
+    outs = [jnp.ones_like(t), t]
+    for _ in range(2, k):
+        outs.append(2.0 * t * outs[-1] - outs[-2])
+    return jnp.concatenate(outs[:k], axis=-1)
+
+
+def env_brdf_fitted(ndotv: Array, perceptual_roughness: Array,
+                    coeffs: Array) -> Array:
+    """Gather-free split-sum env BRDF (A, B): evaluates the per-renderer
+    tensor-Chebyshev fit of the preintegrated GGX LUT (ibl.fit_env_brdf;
+    max fit error < 0.03).  A few dozen MADs per pixel on the VPU instead
+    of a full-screen LUT gather — the TPU cost unit (PERF_NOTES.md)."""
+    k = coeffs.shape[0]
+    bn = _cheb_basis(ndotv, k)                     # (..., K)
+    br = _cheb_basis(perceptual_roughness, k)      # (..., K)
+    return jnp.einsum("...i,...j,ijc->...c", bn, br, coeffs)

@@ -340,8 +340,13 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         amb_d = lighting.base.diffuse_ibl * scale
         amb_s = lighting.base.specular_ibl * scale
         # split-sum env factor for SSR substitution
-        lut_uv = jnp.concatenate([ndotv, srf.perceptual_roughness], axis=-1)
-        pre_int = bilinear_sample(ibl_maps.preintegrated_ggx, lut_uv)
+        if fast_env and ibl_maps.env_brdf_coeffs is not None:
+            pre_int = brdf.env_brdf_fitted(ndotv, srf.perceptual_roughness,
+                                           ibl_maps.env_brdf_coeffs)
+        else:
+            lut_uv = jnp.concatenate([ndotv, srf.perceptual_roughness],
+                                     axis=-1)
+            pre_int = bilinear_sample(ibl_maps.preintegrated_ggx, lut_uv)
         one_minus_r = 1.0 - srf.perceptual_roughness
         refl90 = jnp.maximum(jnp.broadcast_to(one_minus_r, srf.reflectance0.shape),
                              srf.reflectance0)

@@ -261,4 +261,31 @@ def precompute_ibl_maps(env_oct: Array, *, brdf_lut_dim: int = 512,
         pref_flat=flat,
         pref_offsets=offsets,
         pref_sizes=sizes,
+        env_brdf_coeffs=fit_env_brdf(lut),
     )
+
+
+def fit_env_brdf(lut, k: int = 8) -> "jnp.ndarray":
+    """Least-squares tensor-Chebyshev fit of the (L, L, 2) preintegrated GGX
+    LUT → (k, k, 2) coefficients for brdf.env_brdf_fitted (max error < 0.03
+    at k=8).  Runs once at precompute time on host numpy; lets the shading
+    path skip the full-screen LUT gather."""
+    import numpy as np
+    a = np.asarray(lut, np.float64)
+    dim = a.shape[0]
+    nv = (np.arange(dim) + 0.5) / dim
+    rg = (np.arange(dim) + 0.5) / dim
+    NV, RG = np.meshgrid(nv, rg, indexing="xy")   # matches LUT layout
+
+    def cheb(x):
+        t = 2.0 * x - 1.0
+        outs = [np.ones_like(t), t]
+        for _ in range(2, k):
+            outs.append(2.0 * t * outs[-1] - outs[-2])
+        return np.stack(outs[:k], -1)
+
+    bn = cheb(NV.ravel())
+    br = cheb(RG.ravel())
+    basis = (bn[:, :, None] * br[:, None, :]).reshape(-1, k * k)
+    coeffs, *_ = np.linalg.lstsq(basis, a.reshape(-1, 2), rcond=None)
+    return jnp.asarray(coeffs.reshape(k, k, 2), jnp.float32)

@@ -187,6 +187,7 @@ class IBLMaps(NamedTuple):
     pref_flat: Optional[Array] = None       # (P, 3)
     pref_offsets: Optional[Array] = None    # (L,)
     pref_sizes: Optional[Array] = None      # (L,)
+    env_brdf_coeffs: Optional[Array] = None  # (K, K, 2) Chebyshev LUT fit
 
 
 # ---------------------------------------------------------------------------
@@ -327,7 +328,11 @@ def apply_ibl(shading: SurfaceShadingInfo, maps: IBLMaps,
     last_mip = float(len(maps.prefiltered) - 1)
 
     lut_uv = jnp.concatenate([ndotv, srf.perceptual_roughness], axis=-1)
-    if fast_env:
+    if fast_env and maps.env_brdf_coeffs is not None:
+        # gather-free analytic fit of the split-sum LUT (ibl.fit_env_brdf)
+        pre_int = brdf.env_brdf_fitted(ndotv, srf.perceptual_roughness,
+                                       maps.env_brdf_coeffs)
+    elif fast_env:
         from diligentfx_tpu.ops.sampling import point_sample
         pre_int = point_sample(maps.preintegrated_ggx, lut_uv)   # (..., 2)
     else:

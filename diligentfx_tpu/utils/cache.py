@@ -22,6 +22,8 @@ def save_ibl_maps(path: str, maps) -> None:
     arrays["pref_flat"] = np.asarray(maps.pref_flat)
     arrays["pref_offsets"] = np.asarray(maps.pref_offsets)
     arrays["pref_sizes"] = np.asarray(maps.pref_sizes)
+    if maps.env_brdf_coeffs is not None:
+        arrays["env_brdf_coeffs"] = np.asarray(maps.env_brdf_coeffs)
     arrays["n_mips"] = np.asarray(len(maps.prefiltered))
     for i, m in enumerate(maps.prefiltered):
         arrays[f"pref_{i}"] = np.asarray(m)
@@ -47,6 +49,8 @@ def load_ibl_maps(path: str):
             pref_flat=jnp.asarray(z["pref_flat"]),
             pref_offsets=jnp.asarray(z["pref_offsets"]),
             pref_sizes=jnp.asarray(z["pref_sizes"]),
+            env_brdf_coeffs=(jnp.asarray(z["env_brdf_coeffs"])
+                             if "env_brdf_coeffs" in z.files else None),
         )
     except Exception:
         return None
