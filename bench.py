@@ -77,7 +77,8 @@ def main():
         w, h = 1920, 1080
         scene = build_bench_scene(5, 9, 32)
         ci = PBRRendererCreateInfo()
-        cfg = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=512,
+        # tile_h=32 measured fastest for the Pallas kernel (PERF_NOTES.md)
+        cfg = RasterizerConfig(tile_h=32, tile_w=128, bin_capacity=1024,
                                max_tiles_per_tri=16, big_tri_capacity=64, chunk=8)
         frames = args.frames
 

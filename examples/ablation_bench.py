@@ -29,7 +29,7 @@ def main():
 
     w, h = 1920, 1080
     scene = build_bench_scene(5, 9, 32)
-    cfg = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=512,
+    cfg = RasterizerConfig(tile_h=32, tile_w=128, bin_capacity=1024,
                            max_tiles_per_tri=16, big_tri_capacity=64, chunk=8)
     renderer = PBRRenderer(PBRRendererCreateInfo(), raster_cfg=cfg)
     eye = [0.0, 1.0, 7.5]

@@ -106,7 +106,7 @@ def config_2_shadows(frames):
         (ground, gn, PBRMaterialBasicAttribs.create(
             base_color_factor=(0.45, 0.45, 0.5, 1.0), roughness_factor=0.7)),
     ])
-    cfg = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=512,
+    cfg = RasterizerConfig(tile_h=32, tile_w=128, bin_capacity=1024,
                            max_tiles_per_tri=16, big_tri_capacity=64, chunk=8)
     renderer = PBRRenderer(PBRRendererCreateInfo(enable_shadows=True),
                            raster_cfg=cfg)
@@ -150,7 +150,7 @@ def config_3_sponza(frames):
 
     w, h = 1920, 1080
     scene = sponza_like_scene()
-    cfg = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=768,
+    cfg = RasterizerConfig(tile_h=32, tile_w=128, bin_capacity=1536,
                            max_tiles_per_tri=16, big_tri_capacity=64, chunk=8)
     renderer = PBRRenderer(PBRRendererCreateInfo(), raster_cfg=cfg)
     tm = HnTaskManager(renderer, TaskManagerCreateInfo(
@@ -195,7 +195,7 @@ def config_4_animated(frames):
 
     w, h = 1920, 1080
     scene = sponza_like_scene(n_columns=12)
-    cfg = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=768,
+    cfg = RasterizerConfig(tile_h=32, tile_w=128, bin_capacity=1536,
                            max_tiles_per_tri=16, big_tri_capacity=64, chunk=8)
     renderer = PBRRenderer(PBRRendererCreateInfo(), raster_cfg=cfg)
     tm = HnTaskManager(renderer, TaskManagerCreateInfo(
@@ -243,7 +243,7 @@ def config_5_4k(frames):
 
     w, h = 3840, 2160
     scene = sponza_like_scene()
-    cfg = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=512,
+    cfg = RasterizerConfig(tile_h=32, tile_w=128, bin_capacity=1024,
                            max_tiles_per_tri=16, big_tri_capacity=64, chunk=8)
     renderer = PBRRenderer(PBRRendererCreateInfo(), raster_cfg=cfg)
     tm = HnTaskManager(renderer, TaskManagerCreateInfo(
