@@ -322,12 +322,21 @@ def filter_shadow_pcf(shadow_maps: Array, info: CascadeSamplingInfo,
 
 def convert_to_filterable(shadow_maps: Array, mode: ShadowMode,
                           positive_exp: float = 40.0,
-                          negative_exp: float = 8.0) -> Array:
+                          negative_exp: float = 8.0,
+                          emulate_16bit: bool = False) -> Array:
     """Depth (C,S,S) → moment maps (ShadowConversions.fx):
-    VSM: (z, z²); EVSM2: (e^{pz}, e^{2pz}); EVSM4: + negative warp."""
+    VSM: (z, z²); EVSM2: (e^{pz}, e^{2pz}); EVSM4: + negative warp.
+
+    emulate_16bit quantizes VSM moments to RG16_UNORM steps — the reference
+    stores VSM in a 16-bit UNORM target (ShadowMapManager.cpp Is32BitFilterable
+    path), and light-bleeding behavior depends on that quantization; enable it
+    when matching the reference's VSM output (SURVEY.md §7 hard part f)."""
     z = shadow_maps
     if mode == ShadowMode.VSM:
-        return jnp.stack([z, z * z], axis=-1)
+        m = jnp.stack([z, z * z], axis=-1)
+        if emulate_16bit:
+            m = jnp.round(jnp.clip(m, 0.0, 1.0) * 65535.0) / 65535.0
+        return m
     ep = jnp.exp(positive_exp * z)
     if mode == ShadowMode.EVSM2:
         return jnp.stack([ep, ep * ep], axis=-1)

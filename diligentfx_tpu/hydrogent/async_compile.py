@@ -50,9 +50,11 @@ class AsyncFramePipeline:
 
     def __init__(self, renderer, ci: TaskManagerCreateInfo, *, width: int,
                  height: int, atlas=None,
-                 settings: FrameSettings = FrameSettings()):
+                 settings: FrameSettings = FrameSettings(),
+                 loading_overlay: bool = True):
         self.width, self.height = width, height
         self.settings = settings
+        self.loading_overlay = loading_overlay
         self.full = HnTaskManager(renderer, ci, atlas=atlas)
         self.fallback = HnTaskManager(renderer, _fallback_ci(ci), atlas=atlas)
         self._ready = threading.Event()
@@ -115,4 +117,9 @@ class AsyncFramePipeline:
         out = self.fallback.execute(scene, info, state, width=self.width,
                                     height=self.height,
                                     settings=self.settings)
+        if self.loading_overlay:
+            # subtle streaming indicator (GetLoadingAnimationColor analogue)
+            from diligentfx_tpu.postfx.tonemap import loading_animation
+            t = out.state.frame_index.astype(jnp.float32) / 30.0
+            out = out._replace(color=loading_animation(out.color, 0.15, t))
         return out, ExecuteResult.FALLBACK

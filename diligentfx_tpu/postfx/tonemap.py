@@ -176,3 +176,25 @@ def average_log_luminance(color: Array, eps: float = 1e-4) -> Array:
     this in EpipolarLightScattering's luminance chain / UpdateAverageLuminance)."""
     lum = jnp.sum(color * RGB_TO_LUMINANCE, axis=-1)
     return jnp.exp(jnp.mean(jnp.log(lum + eps)))
+
+
+def loading_animation(color, factor, time, *, stripe_px: float = 32.0):
+    """Streaming-asset loading overlay — the analogue of RenderPBR.psh's
+    GetLoadingAnimationColor (RenderPBR.psh:361-386, applied :615-630):
+    while assets stream in, geometry blends toward an animated diagonal
+    stripe pattern; factor (scalar or (H, W, 1)) = 0 shows the scene,
+    1 shows the full pattern."""
+    import jax
+    import jax.numpy as jnp
+    h, w = color.shape[:2]
+    x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    phase = (x + y) / stripe_px - time * 2.0
+    stripe = 0.5 + 0.5 * jnp.sin(phase * 3.14159265)
+    base = jnp.asarray([0.22, 0.24, 0.28], color.dtype)
+    hi = jnp.asarray([0.36, 0.38, 0.42], color.dtype)
+    pattern = base + (hi - base) * stripe[..., None]
+    f = jnp.asarray(factor, color.dtype)
+    if f.ndim == 0:
+        f = jnp.broadcast_to(f, (h, w, 1))
+    return color + (pattern - color) * f

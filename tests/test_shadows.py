@@ -114,3 +114,16 @@ def test_vsm_chebyshev_behavior():
     assert float(lit[0]) > 0.99
     info_deep = info._replace(depth=jnp.array([[0.8]]))
     assert float(filter_shadow_vsm(moments, info_deep, ShadowMode.VSM)[0]) < 0.1
+
+
+def test_vsm_16bit_quantization():
+    from diligentfx_tpu.components.shadow_map_manager import (
+        ShadowMode, convert_to_filterable)
+    z = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 16, 16)).astype(np.float32))
+    m16 = np.asarray(convert_to_filterable(z, ShadowMode.VSM,
+                                           emulate_16bit=True))
+    m32 = np.asarray(convert_to_filterable(z, ShadowMode.VSM))
+    # quantized to exact RG16_UNORM steps, within half a step of fp32
+    assert np.allclose(m16 * 65535.0, np.round(m16 * 65535.0), atol=1e-3)
+    assert np.abs(m16 - m32).max() <= 0.5 / 65535.0 + 1e-7
