@@ -175,11 +175,34 @@ class HnTaskManager:
             ssr_steps=int(settings.ssr.max_traversal_intersections),
             light_shadow_kinds=light_shadow_kinds)
 
+    def execute_split(self, scene: ScenePrimitives, info: RenderInfo,
+                      state: FrameState, *, width: int, height: int,
+                      settings: FrameSettings = FrameSettings(),
+                      light_shadow_kinds: tuple = ()) -> FrameOutput:
+        """Same frame as `execute`, compiled as TWO programs (geometry +
+        screen-space half, temporal + tonemap half).  Use for very large
+        framebuffers (4K) where the monolithic program overwhelms the
+        compiler; costs one extra HBM round-trip at the seam."""
+        pre = _frame_pre_jit(
+            scene, info, state, self.renderer.ibl_maps, self.renderer.env_oct,
+            self.jitter_seq, settings, self.atlas, self.atmosphere_lut,
+            width=width, height=height, cfg=self.renderer.raster_cfg,
+            ci=self.ci, use_ibl=self.renderer.ci.enable_ibl,
+            use_textures=self.atlas is not None,
+            pcf_kernel_size=self.renderer.ci.pcf_kernel_size,
+            enable_clearcoat=self.renderer.ci.enable_clear_coat,
+            ssr_steps=int(settings.ssr.max_traversal_intersections),
+            light_shadow_kinds=light_shadow_kinds)
+        return _frame_post_jit(pre, state, settings, width=width,
+                               height=height, ci=self.ci)
 
-@functools.partial(jax.jit, static_argnames=(
-    "width", "height", "cfg", "ci", "use_ibl", "use_textures",
-    "pcf_kernel_size", "enable_clearcoat", "ssr_steps",
-    "light_shadow_kinds"))
+
+_FRAME_STATICS = ("width", "height", "cfg", "ci", "use_ibl", "use_textures",
+                  "pcf_kernel_size", "enable_clearcoat", "ssr_steps",
+                  "light_shadow_kinds")
+
+
+@functools.partial(jax.jit, static_argnames=_FRAME_STATICS)
 def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
                    env_oct, jitter_seq, settings: FrameSettings, atlas,
                    atmosphere_lut, *,
@@ -189,6 +212,29 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
                    enable_clearcoat: bool = False,
                    ssr_steps: int = 48,
                    light_shadow_kinds: tuple = ()) -> FrameOutput:
+    pre = _frame_pre(scene, info, state, ibl_maps, env_oct, jitter_seq,
+                     settings, atlas, atmosphere_lut, width=width,
+                     height=height, cfg=cfg, ci=ci, use_ibl=use_ibl,
+                     use_textures=use_textures,
+                     pcf_kernel_size=pcf_kernel_size,
+                     enable_clearcoat=enable_clearcoat, ssr_steps=ssr_steps,
+                     light_shadow_kinds=light_shadow_kinds)
+    return _frame_post(pre, state, settings, width=width, height=height,
+                       ci=ci)
+
+
+def _frame_pre(scene, info: RenderInfo, state: FrameState, ibl_maps,
+               env_oct, jitter_seq, settings: FrameSettings, atlas,
+               atmosphere_lut, *,
+               width: int, height: int, cfg: RasterizerConfig,
+               ci: TaskManagerCreateInfo, use_ibl: bool,
+               use_textures: bool, pcf_kernel_size: int,
+               enable_clearcoat: bool = False,
+               ssr_steps: int = 48,
+               light_shadow_kinds: tuple = ()):
+    """Geometry + screen-space effects + composite + scattering + exposure —
+    the first half of the frame program (splittable for very large
+    framebuffers whose monolithic program overwhelms the compiler)."""
     # ---- BeginFrame: jitter the camera (TAA), frame constants ---------------
     cam = info.camera
     first_frame = state.frame_index == 0
@@ -321,6 +367,21 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
         info = info._replace(renderer_params=info.renderer_params.replace(
             average_log_lum=adapted))
 
+    return dict(color=color, gb=gb, ao=ao, info=info, resources=resources,
+                first_frame=first_frame, new_ssao=new_ssao, new_ssr=new_ssr,
+                new_exposure=new_exposure)
+
+
+def _frame_post(pre: dict, state: FrameState, settings: FrameSettings, *,
+                width: int, height: int,
+                ci: TaskManagerCreateInfo) -> FrameOutput:
+    """Temporal stack + tone map — the second half of the frame program."""
+    color, gb, ao = pre["color"], pre["gb"], pre["ao"]
+    info, resources = pre["info"], pre["resources"]
+    first_frame = pre["first_frame"]
+    new_ssao, new_ssr = pre["new_ssao"], pre["new_ssr"]
+    new_exposure = pre["new_exposure"]
+
     # ---- TAA ------------------------------------------------------------------
     new_taa = state.taa
     if ci.enable_taa:
@@ -359,6 +420,12 @@ def _execute_frame(scene, info: RenderInfo, state: FrameState, ibl_maps,
         taa=new_taa, ssr=new_ssr, ssao=new_ssao, dof=new_dof,
         average_log_lum=new_exposure if ci.enable_auto_exposure else state.average_log_lum)
     return FrameOutput(color=color, gbuffer=gb, state=new_state)
+
+
+_frame_pre_jit = functools.partial(
+    jax.jit, static_argnames=_FRAME_STATICS)(_frame_pre)
+_frame_post_jit = functools.partial(
+    jax.jit, static_argnames=("width", "height", "ci"))(_frame_post)
 
 
 def _debug_aov(view: DebugViewType, gb: GBufferData, ao):

@@ -263,8 +263,10 @@ def config_5_4k(frames):
     holder = {"state": state}
 
     def step(i):
-        out = tm.execute(scene, info, holder["state"], width=w, height=h,
-                         settings=settings)
+        # split execution: the monolithic 4K program overwhelms the remote
+        # compiler (HTTP 500); two phase programs compile fine
+        out = tm.execute_split(scene, info, holder["state"], width=w,
+                               height=h, settings=settings)
         holder["state"] = out.state
         return out.color
 

@@ -143,3 +143,19 @@ def test_view_modes(setup):
         out = tm.execute(scene, info, tm.initial_state(W, H), width=W, height=H)
         a = np.asarray(out.color)
         assert np.isfinite(a).all(), vm
+
+
+def test_execute_split_matches_execute(setup):
+    """execute_split (two compiled phases, for 4K-scale programs) must be
+    numerically identical to the monolithic execute."""
+    renderer, scene, info = setup
+    tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=True, enable_ssr=True, enable_taa=True,
+        enable_bloom=True))
+    s1 = tm.initial_state(W, H)
+    a = tm.execute(scene, info, s1, width=W, height=H)
+    b = tm.execute_split(scene, info, s1, width=W, height=H)
+    np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.state.frame_index),
+                                  np.asarray(b.state.frame_index))
