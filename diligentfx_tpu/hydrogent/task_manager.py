@@ -179,20 +179,25 @@ class HnTaskManager:
                       state: FrameState, *, width: int, height: int,
                       settings: FrameSettings = FrameSettings(),
                       light_shadow_kinds: tuple = ()) -> FrameOutput:
-        """Same frame as `execute`, compiled as TWO programs (geometry +
-        screen-space half, temporal + tonemap half).  Use for very large
+        """Same frame as `execute`, compiled as THREE programs (g-buffer,
+        screen-space effects, temporal + tonemap).  Use for very large
         framebuffers (4K) where the monolithic program overwhelms the
-        compiler; costs one extra HBM round-trip at the seam."""
-        pre = _frame_pre_jit(
+        compiler; costs two extra HBM round-trips at the seams."""
+        begin = _frame_begin_jit(
             scene, info, state, self.renderer.ibl_maps, self.renderer.env_oct,
-            self.jitter_seq, settings, self.atlas, self.atmosphere_lut,
+            self.jitter_seq, self.atlas,
             width=width, height=height, cfg=self.renderer.raster_cfg,
             ci=self.ci, use_ibl=self.renderer.ci.enable_ibl,
             use_textures=self.atlas is not None,
             pcf_kernel_size=self.renderer.ci.pcf_kernel_size,
             enable_clearcoat=self.renderer.ci.enable_clear_coat,
-            ssr_steps=int(settings.ssr.max_traversal_intersections),
             light_shadow_kinds=light_shadow_kinds)
+        pre = _frame_fx_jit(
+            begin, scene, state, self.renderer.ibl_maps, settings,
+            self.atmosphere_lut, width=width, height=height,
+            cfg=self.renderer.raster_cfg, ci=self.ci,
+            use_ibl=self.renderer.ci.enable_ibl,
+            ssr_steps=int(settings.ssr.max_traversal_intersections))
         return _frame_post_jit(pre, state, settings, width=width,
                                height=height, ci=self.ci)
 
@@ -232,9 +237,25 @@ def _frame_pre(scene, info: RenderInfo, state: FrameState, ibl_maps,
                enable_clearcoat: bool = False,
                ssr_steps: int = 48,
                light_shadow_kinds: tuple = ()):
-    """Geometry + screen-space effects + composite + scattering + exposure —
-    the first half of the frame program (splittable for very large
-    framebuffers whose monolithic program overwhelms the compiler)."""
+    begin = _frame_begin(scene, info, state, ibl_maps, env_oct, jitter_seq,
+                         atlas, width=width, height=height, cfg=cfg, ci=ci,
+                         use_ibl=use_ibl, use_textures=use_textures,
+                         pcf_kernel_size=pcf_kernel_size,
+                         enable_clearcoat=enable_clearcoat,
+                         light_shadow_kinds=light_shadow_kinds)
+    return _frame_fx(begin, scene, state, ibl_maps, settings, atmosphere_lut,
+                     width=width, height=height, cfg=cfg, ci=ci,
+                     use_ibl=use_ibl, ssr_steps=ssr_steps)
+
+
+def _frame_begin(scene, info: RenderInfo, state: FrameState, ibl_maps,
+                 env_oct, jitter_seq, atlas, *,
+                 width: int, height: int, cfg: RasterizerConfig,
+                 ci: TaskManagerCreateInfo, use_ibl: bool,
+                 use_textures: bool, pcf_kernel_size: int,
+                 enable_clearcoat: bool = False,
+                 light_shadow_kinds: tuple = ()):
+    """BeginFrame (TAA jitter) + the G-buffer main pass."""
     # ---- BeginFrame: jitter the camera (TAA), frame constants ---------------
     cam = info.camera
     first_frame = state.frame_index == 0
@@ -266,6 +287,16 @@ def _frame_pre(scene, info: RenderInfo, state: FrameState, ibl_maps,
                         enable_clearcoat=enable_clearcoat,
                         fast_env=ci.fast_env_taps,
                         light_shadow_kinds=light_shadow_kinds)
+    return dict(gb=gb, info=info, first_frame=first_frame)
+
+
+def _frame_fx(begin: dict, scene, state: FrameState, ibl_maps,
+              settings: FrameSettings, atmosphere_lut, *,
+              width: int, height: int, cfg: RasterizerConfig,
+              ci: TaskManagerCreateInfo, use_ibl: bool,
+              ssr_steps: int = 48):
+    """Screen-space effects + composite + OIT + scattering + exposure."""
+    gb, info, first_frame = begin["gb"], begin["info"], begin["first_frame"]
 
     # ---- PostFXContext -------------------------------------------------------
     closest_motion = dilate_closest_motion(gb.depth, gb.motion)
@@ -422,8 +453,14 @@ def _frame_post(pre: dict, state: FrameState, settings: FrameSettings, *,
     return FrameOutput(color=color, gbuffer=gb, state=new_state)
 
 
-_frame_pre_jit = functools.partial(
-    jax.jit, static_argnames=_FRAME_STATICS)(_frame_pre)
+_frame_begin_jit = functools.partial(
+    jax.jit, static_argnames=("width", "height", "cfg", "ci", "use_ibl",
+                              "use_textures", "pcf_kernel_size",
+                              "enable_clearcoat",
+                              "light_shadow_kinds"))(_frame_begin)
+_frame_fx_jit = functools.partial(
+    jax.jit, static_argnames=("width", "height", "cfg", "ci", "use_ibl",
+                              "ssr_steps"))(_frame_fx)
 _frame_post_jit = functools.partial(
     jax.jit, static_argnames=("width", "height", "ci"))(_frame_post)
 

@@ -1,0 +1,22 @@
+"""Golden-image regression test — the visual-validation tier SURVEY.md §4
+notes the reference lacks in-repo but our per-pixel metric requires.
+Regenerate with `python tests/golden/generate.py` after INTENTIONAL shading
+changes (the diff in the PR then shows the visual delta)."""
+import os
+import sys
+
+import numpy as np
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def test_mr_spheres_matches_golden():
+    sys.path.insert(0, GOLDEN_DIR)
+    from generate import render_mr_spheres_golden
+    from diligentfx_tpu.utils.image import psnr, read_png
+    img = render_mr_spheres_golden()
+    ref = read_png(os.path.join(GOLDEN_DIR, "mr_spheres_128.png"))[..., :3]
+    ref = ref.astype(np.float64) / 255.0
+    # golden PNG is 8-bit: quantization alone bounds PSNR near 50 dB
+    p = psnr(np.clip(img, 0.0, 1.0), ref)
+    assert p > 40.0, f"PSNR vs golden = {p:.1f} dB"
