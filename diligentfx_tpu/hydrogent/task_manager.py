@@ -178,20 +178,40 @@ class HnTaskManager:
     def execute_split(self, scene: ScenePrimitives, info: RenderInfo,
                       state: FrameState, *, width: int, height: int,
                       settings: FrameSettings = FrameSettings(),
-                      light_shadow_kinds: tuple = ()) -> FrameOutput:
+                      light_shadow_kinds: tuple = (),
+                      gbuffer_bands: int = 1) -> FrameOutput:
         """Same frame as `execute`, compiled as THREE programs (g-buffer,
         screen-space effects, temporal + tonemap).  Use for very large
         framebuffers (4K) where the monolithic program overwhelms the
-        compiler; costs two extra HBM round-trips at the seams."""
-        begin = _frame_begin_jit(
-            scene, info, state, self.renderer.ibl_maps, self.renderer.env_oct,
-            self.jitter_seq, self.atlas,
-            width=width, height=height, cfg=self.renderer.raster_cfg,
-            ci=self.ci, use_ibl=self.renderer.ci.enable_ibl,
-            use_textures=self.atlas is not None,
-            pcf_kernel_size=self.renderer.ci.pcf_kernel_size,
-            enable_clearcoat=self.renderer.ci.enable_clear_coat,
-            light_shadow_kinds=light_shadow_kinds)
+        compiler; costs two extra HBM round-trips at the seams.
+        gbuffer_bands > 1 additionally shades the G-buffer in row bands
+        through one reusable band program (render_gbuffer_banded) — the 4K
+        shading graph is itself too large to compile as one unit."""
+        if gbuffer_bands > 1:
+            from diligentfx_tpu.pbr.deferred import render_gbuffer_banded
+            info2, first_frame, shadow_mode = _begin_camera(
+                info, state, self.jitter_seq, self.ci, width, height)
+            gb = render_gbuffer_banded(
+                scene, info2, self.renderer.ibl_maps, self.renderer.env_oct,
+                width=width, height=height, cfg=self.renderer.raster_cfg,
+                bands=gbuffer_bands, use_ibl=self.renderer.ci.enable_ibl,
+                use_lights=True, shadow_mode=shadow_mode,
+                pcf_kernel_size=self.renderer.ci.pcf_kernel_size,
+                atlas=self.atlas, use_textures=self.atlas is not None,
+                enable_clearcoat=self.renderer.ci.enable_clear_coat,
+                fast_env=self.ci.fast_env_taps,
+                light_shadow_kinds=light_shadow_kinds)
+            begin = dict(gb=gb, info=info2, first_frame=first_frame)
+        else:
+            begin = _frame_begin_jit(
+                scene, info, state, self.renderer.ibl_maps,
+                self.renderer.env_oct, self.jitter_seq, self.atlas,
+                width=width, height=height, cfg=self.renderer.raster_cfg,
+                ci=self.ci, use_ibl=self.renderer.ci.enable_ibl,
+                use_textures=self.atlas is not None,
+                pcf_kernel_size=self.renderer.ci.pcf_kernel_size,
+                enable_clearcoat=self.renderer.ci.enable_clear_coat,
+                light_shadow_kinds=light_shadow_kinds)
         pre = _frame_fx_jit(
             begin, scene, state, self.renderer.ibl_maps, settings,
             self.atmosphere_lut, width=width, height=height,
@@ -248,15 +268,9 @@ def _frame_pre(scene, info: RenderInfo, state: FrameState, ibl_maps,
                      use_ibl=use_ibl, ssr_steps=ssr_steps)
 
 
-def _frame_begin(scene, info: RenderInfo, state: FrameState, ibl_maps,
-                 env_oct, jitter_seq, atlas, *,
-                 width: int, height: int, cfg: RasterizerConfig,
-                 ci: TaskManagerCreateInfo, use_ibl: bool,
-                 use_textures: bool, pcf_kernel_size: int,
-                 enable_clearcoat: bool = False,
-                 light_shadow_kinds: tuple = ()):
-    """BeginFrame (TAA jitter) + the G-buffer main pass."""
-    # ---- BeginFrame: jitter the camera (TAA), frame constants ---------------
+def _begin_camera(info: RenderInfo, state: FrameState, jitter_seq,
+                  ci: TaskManagerCreateInfo, width: int, height: int):
+    """BeginFrame: TAA camera jitter + prev view-proj + shadow mode."""
     cam = info.camera
     first_frame = state.frame_index == 0
     if ci.enable_taa:
@@ -267,14 +281,25 @@ def _frame_begin(scene, info: RenderInfo, state: FrameState, ibl_maps,
             cam.view, proj_j, cam.position, cam.near_z, cam.far_z,
             width, height, jitter=j_ndc)
         info = info._replace(camera=cam_j)
-
-    prev_vp = jnp.where(first_frame, info.camera.view_proj, state.prev_view_proj)
+    prev_vp = jnp.where(first_frame, info.camera.view_proj,
+                        state.prev_view_proj)
     info = info._replace(prev_view_proj=prev_vp)
-
-    # ---- RenderShadows -------------------------------------------------------
     shadow_mode = None
     if ci.enable_shadows and info.shadow_attribs is not None:
         shadow_mode = ci.shadow_mode
+    return info, first_frame, shadow_mode
+
+
+def _frame_begin(scene, info: RenderInfo, state: FrameState, ibl_maps,
+                 env_oct, jitter_seq, atlas, *,
+                 width: int, height: int, cfg: RasterizerConfig,
+                 ci: TaskManagerCreateInfo, use_ibl: bool,
+                 use_textures: bool, pcf_kernel_size: int,
+                 enable_clearcoat: bool = False,
+                 light_shadow_kinds: tuple = ()):
+    """BeginFrame (TAA jitter) + the G-buffer main pass."""
+    info, first_frame, shadow_mode = _begin_camera(info, state, jitter_seq,
+                                                   ci, width, height)
 
     # ---- Main pass: G-buffer -------------------------------------------------
     with jax.named_scope("hn.render_rprims"):

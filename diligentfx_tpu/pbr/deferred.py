@@ -78,6 +78,38 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         vb = resolve_alpha_mask(vb, clip, scene, winv,
                                 width=pad_w, height=pad_h, cfg=cfg,
                                 atlas=atlas, use_textures=use_textures)
+    gb = _shade_band(scene, info, ibl_maps, env_oct, vb, clip, winv,
+                     world_pos, world_nrm, jnp.int32(0),
+                     band_h=pad_h, pad_w=pad_w, pad_h=pad_h,
+                     use_ibl=use_ibl, use_lights=use_lights,
+                     shadow_mode=shadow_mode,
+                     pcf_kernel_size=pcf_kernel_size, atlas=atlas,
+                     use_textures=use_textures,
+                     enable_clearcoat=enable_clearcoat, fast_env=fast_env,
+                     light_shadow_kinds=light_shadow_kinds)
+    return jax.tree.map(lambda x: x[:height, :width], gb)
+
+
+def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
+                vb, clip, winv, world_pos, world_nrm, row0, *,
+                band_h: int, pad_w: int, pad_h: int,
+                use_ibl: bool, use_lights: bool, shadow_mode,
+                pcf_kernel_size: int, atlas, use_textures: bool,
+                enable_clearcoat: bool, fast_env: bool,
+                light_shadow_kinds: tuple) -> GBufferData:
+    """Deferred shading of rows [row0, row0 + band_h) of the visibility
+    buffer (row0 may be traced).  Shading is pixel-local, so very large
+    framebuffers can shade in bands compiled as ONE reusable program —
+    the monolithic 4K shading graph overwhelms the remote compiler
+    (render_gbuffer_banded below; PERF_NOTES.md).  Returns the PADDED band
+    (no viewport crop)."""
+    r0 = jnp.asarray(row0, jnp.int32)
+    if band_h != pad_h:
+        vb = rz.VisibilityBuffer(
+            depth=jax.lax.dynamic_slice(vb.depth, (r0, 0), (band_h, pad_w)),
+            tri_id=jax.lax.dynamic_slice(vb.tri_id, (r0, 0), (band_h, pad_w)),
+            bary=jax.lax.dynamic_slice(vb.bary, (r0, 0, 0),
+                                       (band_h, pad_w, 2)))
     # previous-frame clip position for motion vectors (object + camera + skin)
     prev_world, _, _ = transform_vertices(scene, info.model_transform,
                                           previous=True)
@@ -107,8 +139,9 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         tan_sign = interp[..., 13:14]
 
     hit = vb.tri_id >= 0
-    xg = (jax.lax.broadcasted_iota(jnp.float32, (pad_h, pad_w), 1) + 0.5) / pad_w
-    yg = (jax.lax.broadcasted_iota(jnp.float32, (pad_h, pad_w), 0) + 0.5) / pad_h
+    xg = (jax.lax.broadcasted_iota(jnp.float32, (band_h, pad_w), 1) + 0.5) / pad_w
+    yg = (jax.lax.broadcasted_iota(jnp.float32, (band_h, pad_w), 0)
+          + r0.astype(jnp.float32) + 0.5) / pad_h
     cur_uv = jnp.stack([xg, yg], axis=-1)
     motion = jnp.where(hit[..., None], cur_uv - prev_uv_px, 0.0)
 
@@ -381,7 +414,7 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         amb_s = (amb_s * atten
                  + lighting.clearcoat.specular_ibl * scale * clearcoat.factor)
 
-    ray = _camera_rays(info.camera, pad_w, pad_h)
+    ray = _camera_rays(info.camera, pad_w, pad_h, row0=r0, band_h=band_h)
     if fast_env:
         from diligentfx_tpu.ops.sampling import dir_to_oct_uv, point_sample
         bg = point_sample(env_oct, dir_to_oct_uv(ray))
@@ -391,7 +424,7 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     nrm_view = m3.transform_directions(nrm_px, info.camera.view)
 
     def crop(x):
-        return x[:height, :width]
+        return x
 
     depth = jnp.where(hit, vb.depth, 1.0)
     return GBufferData(
@@ -412,3 +445,68 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         background=crop(bg),
         hit=crop(hit),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("pad_w", "pad_h", "cfg",
+                                             "use_textures"))
+def _raster_stage(scene: ScenePrimitives, info: RenderInfo, atlas, *,
+                  pad_w: int, pad_h: int, cfg: RasterizerConfig,
+                  use_textures: bool):
+    """Vertex transform + visibility raster + alpha-mask resolve, compiled
+    standalone (it compiles fine at 4K; the fused shading graph doesn't)."""
+    world_pos, world_nrm, _ = transform_vertices(scene, info.model_transform)
+    clip = m3.transform_points(world_pos, info.camera.view_proj)
+    n_op = scene.indices.shape[0] - (
+        scene.mask_indices.shape[0] if scene.mask_indices is not None else 0)
+    vb, _stats = rz.rasterize(clip, scene.indices[:n_op],
+                              width=pad_w, height=pad_h, cfg=cfg,
+                              double_sided=scene.tri_double_sided[:n_op])
+    winv = jnp.where(jnp.abs(clip[:, 3]) > 1e-12, 1.0 / clip[:, 3], 0.0)
+    if scene.mask_indices is not None:
+        from diligentfx_tpu.pbr.oit import resolve_alpha_mask
+        vb = resolve_alpha_mask(vb, clip, scene, winv,
+                                width=pad_w, height=pad_h, cfg=cfg,
+                                atlas=atlas, use_textures=use_textures)
+    return vb, clip, winv, world_pos, world_nrm
+
+
+_shade_band_jit = functools.partial(jax.jit, static_argnames=(
+    "band_h", "pad_w", "pad_h", "use_ibl", "use_lights", "shadow_mode",
+    "pcf_kernel_size", "use_textures", "enable_clearcoat", "fast_env",
+    "light_shadow_kinds"))(_shade_band)
+
+
+def render_gbuffer_banded(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
+                          env_oct, *, width: int, height: int,
+                          cfg: RasterizerConfig, bands: int = 4,
+                          use_ibl: bool = True, use_lights: bool = True,
+                          shadow_mode=None, pcf_kernel_size: int = 3,
+                          atlas=None, use_textures: bool = False,
+                          enable_clearcoat: bool = False,
+                          fast_env: bool = False,
+                          light_shadow_kinds: tuple = ()) -> GBufferData:
+    """render_gbuffer compiled as 1 raster program + 1 REUSABLE band-shading
+    program executed `bands` times (row offset is a traced scalar, so every
+    band shares the compile).  For very large framebuffers (4K) whose
+    monolithic shading graph overwhelms the compiler; costs band-seam HBM
+    round-trips, numerically identical otherwise (shading is pixel-local)."""
+    pad_w, pad_h = rz.pad_viewport(width, height, cfg)
+    while pad_h % bands:
+        bands -= 1
+    band_h = pad_h // bands
+    vb, clip, winv, world_pos, world_nrm = _raster_stage(
+        scene, info, atlas, pad_w=pad_w, pad_h=pad_h, cfg=cfg,
+        use_textures=use_textures)
+    parts = [
+        _shade_band_jit(scene, info, ibl_maps, env_oct, vb, clip, winv,
+                        world_pos, world_nrm, jnp.int32(b * band_h),
+                        band_h=band_h, pad_w=pad_w, pad_h=pad_h,
+                        use_ibl=use_ibl, use_lights=use_lights,
+                        shadow_mode=shadow_mode,
+                        pcf_kernel_size=pcf_kernel_size, atlas=atlas,
+                        use_textures=use_textures,
+                        enable_clearcoat=enable_clearcoat, fast_env=fast_env,
+                        light_shadow_kinds=light_shadow_kinds)
+        for b in range(bands)]
+    gb = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+    return jax.tree.map(lambda x: x[:height, :width], gb)

@@ -386,10 +386,17 @@ def _render_frame(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     return color[:height, :width]
 
 
-def _camera_rays(camera: CameraAttribs, width: int, height: int) -> Array:
-    """World-space view ray per pixel (for env background / SSR)."""
+def _camera_rays(camera: CameraAttribs, width: int, height: int,
+                 row0=None, band_h: Optional[int] = None) -> Array:
+    """World-space view ray per pixel (for env background / SSR).
+    row0/band_h restrict to a horizontal band of a `height`-tall frame
+    (row0 may be a traced scalar — banded G-buffer shading)."""
     x = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    y = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    rows = jnp.arange(band_h if band_h is not None else height,
+                      dtype=jnp.float32)
+    if row0 is not None:
+        rows = rows + jnp.asarray(row0, jnp.float32)
+    y = 1.0 - (rows + 0.5) / height * 2.0
     xx, yy = jnp.meshgrid(x, y, indexing="xy")
     ndc = jnp.stack([xx, yy, jnp.full_like(xx, 0.5), jnp.ones_like(xx)], axis=-1)
     world = jnp.einsum("hwi,ij->hwj", ndc, camera.view_proj_inv,

@@ -264,9 +264,10 @@ def config_5_4k(frames):
 
     def step(i):
         # split execution: the monolithic 4K program overwhelms the remote
-        # compiler (HTTP 500); two phase programs compile fine
+        # compiler (HTTP 500); phase programs + banded g-buffer shading
         out = tm.execute_split(scene, info, holder["state"], width=w,
-                               height=h, settings=settings)
+                               height=h, settings=settings,
+                               gbuffer_bands=4)
         holder["state"] = out.state
         return out.color
 

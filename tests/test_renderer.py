@@ -142,3 +142,18 @@ def test_ibl_disk_cache(tmp_path):
                                np.asarray(r2.ibl_maps.preintegrated_ggx),
                                atol=1e-6)
     assert len(r2.ibl_maps.prefiltered) == len(r1.ibl_maps.prefiltered)
+
+
+def test_banded_gbuffer_matches_monolithic(renderer, scene, frame_info):
+    """render_gbuffer_banded (raster + reusable band-shading program) must
+    be numerically identical to the monolithic render_gbuffer."""
+    info = frame_info
+    from diligentfx_tpu.pbr.deferred import render_gbuffer, render_gbuffer_banded
+    a = render_gbuffer(scene, info, renderer.ibl_maps, renderer.env_oct,
+                       width=W, height=H, cfg=CFG)
+    b = render_gbuffer_banded(scene, info, renderer.ibl_maps,
+                              renderer.env_oct, width=W, height=H, cfg=CFG,
+                              bands=4)
+    for name in a._fields:
+        av, bv = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        np.testing.assert_allclose(av, bv, atol=1e-5, err_msg=name)

@@ -159,3 +159,16 @@ def test_execute_split_matches_execute(setup):
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(a.state.frame_index),
                                   np.asarray(b.state.frame_index))
+
+
+def test_execute_split_banded_matches(setup):
+    renderer, scene, info = setup
+    tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=True, enable_ssr=True, enable_taa=True,
+        enable_bloom=True))
+    s1 = tm.initial_state(W, H)
+    a = tm.execute(scene, info, s1, width=W, height=H)
+    b = tm.execute_split(scene, info, s1, width=W, height=H,
+                         gbuffer_bands=4)
+    np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
+                               atol=1e-5)
