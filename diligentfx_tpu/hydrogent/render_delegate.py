@@ -19,6 +19,9 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
+import functools as _functools
+
+import jax as _jax
 import numpy as np
 
 from diligentfx_tpu.native import binding as native
@@ -453,6 +456,20 @@ class HnRenderDelegate:
             lights.append(PBRLightAttribs.directional((0, -1, 0), (3, 3, 3)))
         info = RenderInfo(camera=cam, lights=PBRLightAttribs.concat(lights),
                           renderer_params=PBRRendererShaderParameters.create())
+        if self.render_param.geometry_mode != HnGeometryMode.SOLID:
+            # HnRenderParam geometry mode (HnTypes.hpp solid/edges/points;
+            # HnMeshUtils edge/point geometry): in a visibility buffer the
+            # edge/point geometry needs no extra index buffers — edges come
+            # from the barycentric distance, points from vertex splats.
+            color = render_geometry_mode(
+                self._scene, info, width=width, height=height,
+                cfg=self._renderer.raster_cfg,
+                mode=int(self.render_param.geometry_mode))
+            from diligentfx_tpu.hydrogent.task_manager import FrameOutput
+            out = FrameOutput(color=color, gbuffer=None, state=self._state)
+            self.last_output = out
+            self.render_param.frame_number += 1
+            return out
         out = self._tm.execute(self._scene, info, self._state,
                                width=width, height=height)
         self._state = out.state
@@ -495,3 +512,52 @@ def bind_usd():
     raise NotImplementedError(
         "pxr detected but the HdRenderDelegate adapter is not yet wired; "
         "use HnRenderDelegate's prim API directly")
+
+
+@_functools.partial(_jax.jit, static_argnames=("width", "height", "cfg",
+                                               "mode"))
+def render_geometry_mode(scene, info, *, width: int, height: int, cfg,
+                         mode: int):
+    """EDGES / POINTS geometry modes (HnRenderParam geometry mode;
+    HnMeshUtils edge + point proxy geometry, HnMesh.cpp geometry subsets).
+
+    TPU design: the reference builds separate edge/point index buffers and
+    draws lines/points; a visibility buffer already carries per-pixel
+    barycentrics, so EDGES is a screen-space barycentric-distance test on
+    the rasterized triangles, and POINTS splats projected vertices with a
+    scatter — no extra geometry, no divergent line rasterization."""
+    import jax.numpy as jnp
+
+    from diligentfx_tpu import math3d as m3
+    from diligentfx_tpu.ops import raster as rz
+    from diligentfx_tpu.pbr.renderer import transform_vertices
+
+    pad_w, pad_h = rz.pad_viewport(width, height, cfg)
+    wp, _, _ = transform_vertices(scene, info.model_transform)
+    clip = m3.transform_points(wp, info.camera.view_proj)
+    bg = jnp.full((pad_h, pad_w, 3), 0.12, jnp.float32)
+    fg = jnp.asarray([0.85, 0.9, 1.0], jnp.float32)
+    if mode == int(HnGeometryMode.EDGES):
+        vb, _ = rz.rasterize(clip, scene.indices, width=pad_w, height=pad_h,
+                             cfg=cfg, double_sided=scene.tri_double_sided)
+        l0 = vb.bary[..., 0]
+        l1 = vb.bary[..., 1]
+        d = jnp.minimum(jnp.minimum(l0, l1), 1.0 - l0 - l1)
+        edge = (vb.tri_id >= 0) & (d < 0.06)
+        color = jnp.where(edge[..., None], fg,
+                          jnp.where((vb.tri_id >= 0)[..., None],
+                                    bg * 1.5, bg))
+    else:
+        # POINTS: project every vertex and splat a dot (scatter-max)
+        w = jnp.maximum(clip[:, 3], 1e-6)
+        ndc = clip[:, :3] / w[:, None]
+        px = ((ndc[:, 0] * 0.5 + 0.5) * pad_w).astype(jnp.int32)
+        py = ((0.5 - ndc[:, 1] * 0.5) * pad_h).astype(jnp.int32)
+        inside = ((clip[:, 3] > 0) & (px >= 0) & (px < pad_w)
+                  & (py >= 0) & (py < pad_h))
+        px = jnp.clip(px, 0, pad_w - 1)
+        py = jnp.clip(py, 0, pad_h - 1)
+        mask = jnp.zeros((pad_h, pad_w), jnp.float32)
+        mask = mask.at[py, px].max(inside.astype(jnp.float32))
+        color = bg + mask[..., None] * (fg - bg)
+    return color[:height, :width]

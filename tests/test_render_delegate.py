@@ -86,3 +86,26 @@ def test_visibility_and_destroy():
     assert out is None or d._scene is None
     d.destroy_prim("/World/tri")
     assert d.get_memory_stats().num_meshes == 0
+
+
+def test_geometry_modes_render():
+    """HnRenderParam geometry modes: EDGES (barycentric wireframe) and
+    POINTS (vertex splats) produce distinct, finite images."""
+    from diligentfx_tpu.hydrogent.render_delegate import HnGeometryMode
+    d = make_delegate()
+    mesh = d.create_rprim("mesh", "/World/tri")
+    mesh.set_points([[-2, -1, 0], [2, -1, 0], [0, 2, 0]])
+    mesh.set_triangles([[0, 1, 2]])
+    cam = d.create_sprim("camera", "/World/cam")
+    cam.set_params(eye=(0, 0, 5), target=(0, 0, 0))
+    d.execute(128, 128)   # builds the renderer/scene
+    d.render_param.geometry_mode = HnGeometryMode.EDGES
+    out_e = d.execute(128, 128)
+    d.render_param.geometry_mode = HnGeometryMode.POINTS
+    out_p = d.execute(128, 128)
+    d.render_param.geometry_mode = HnGeometryMode.SOLID
+    ce, cp = np.asarray(out_e.color), np.asarray(out_p.color)
+    assert np.isfinite(ce).all() and np.isfinite(cp).all()
+    assert ce.std() > 1e-3       # wireframe structure present
+    assert cp.std() > 1e-3       # point splats present
+    assert not np.allclose(ce, cp)
