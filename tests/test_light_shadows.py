@@ -118,3 +118,31 @@ def test_point_shadow_darkens_occluded_floor(renderer):
     assert open_px.sum() > 100
     np.testing.assert_allclose(lit.sum(-1)[open_px], unlit.sum(-1)[open_px],
                                rtol=0.1, atol=0.02)
+
+
+def test_light_shadows_through_task_manager(renderer):
+    """light_shadow_kinds rides through HnTaskManager.execute."""
+    from diligentfx_tpu.hydrogent.task_manager import (HnTaskManager,
+                                                       TaskManagerCreateInfo)
+    scene = _scene_floor_occluder()
+    lpos, ldir = [0.0, 4.0, 0.0], [0.0, -1.0, 0.0]
+    lights = PBRLightAttribs.spot(lpos, ldir, [30.0, 30.0, 30.0],
+                                  0.4, 0.9, range=20.0, shadow_map_index=0)
+    vp = smm.spot_view_proj(lpos, ldir, 0.9, near=0.1, far=20.0)[None]
+    wp, _, _ = transform_vertices(scene)
+    maps = smm.render_light_shadow_maps(wp, scene.indices, vp,
+                                        shadow_map_size=256, cfg=CFG)
+    info = RenderInfo(camera=_camera(), lights=lights,
+                      renderer_params=PBRRendererShaderParameters.create(),
+                      light_shadow_maps=maps, light_shadow_view_projs=vp)
+    tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=False, enable_ssr=False, enable_taa=False,
+        enable_bloom=False))
+    state = tm.initial_state(W, H)
+    out_s = tm.execute(scene, info, state, width=W, height=H,
+                       light_shadow_kinds=("spot",))
+    out_n = tm.execute(scene, info, state, width=W, height=H)
+    a, b = np.asarray(out_s.color), np.asarray(out_n.color)
+    assert np.isfinite(a).all()
+    # shadowing changed the image (occluder shadow on the floor)
+    assert np.abs(a - b).max() > 0.02
