@@ -51,6 +51,21 @@ class ShadowMapAttribs(NamedTuple):
         return self.cascade_cam_z_end.shape[0]
 
 
+def adjust_cascade_range(depth_range, cam_near, cam_far):
+    """AdjustCascadeRange (DistributeCascadeInfo.AdjustCascadeRange,
+    Components/src/ShadowMapManager.cpp:134-396): tighten the cascade span
+    to the scene's visible depth range (ComputeDepthBounds product,
+    components/depth_range.py) so cascade resolution isn't wasted on empty
+    depth.  Returns (near, far) to feed distribute_cascades."""
+    import jax.numpy as jnp
+    near = jnp.maximum(jnp.asarray(cam_near, jnp.float32),
+                       depth_range.scene_near_z * 0.99)
+    far = jnp.minimum(jnp.asarray(cam_far, jnp.float32),
+                      depth_range.scene_far_z * 1.01)
+    far = jnp.maximum(far, near * 1.05)
+    return near, far
+
+
 def basis_from_direction(direction) -> Array:
     """Build a world→light-view row-vector matrix looking along `direction`
     (BasisFromDirection + ViewFromBasis in the reference)."""
@@ -284,9 +299,18 @@ def _gather_cascade(shadow_maps: Array, cascade_idx: Array, y: Array, x: Array) 
 
 
 def filter_shadow_pcf(shadow_maps: Array, info: CascadeSamplingInfo,
-                      kernel_size: int = 3, depth_bias: float = 1e-3) -> Array:
+                      kernel_size: int = 3, depth_bias: float = 1e-3,
+                      receiver_plane_bias: Optional[Array] = None,
+                      bias_clamp=10.0) -> Array:
     """Fixed-size PCF (PCF.fxh:7-155 fixed 2/3/5/7 kernels): bilinear-weighted
-    comparison taps.  Returns (...,) light fraction in [0, 1]."""
+    comparison taps.  Returns (...,) light fraction in [0, 1].
+
+    receiver_plane_bias: optional (..., 2) d(shadow z)/d(shadow uv) — the
+    receiver-plane depth bias (Shadows.fxh:148 ComputeReceiverPlaneDepthBias):
+    each tap's reference depth follows the receiver's plane instead of using
+    one fixed bias, removing slope acne without Peter-Panning; the adjustment
+    is clamped by bias_clamp texels of slope (ShadowMapAttribs
+    .receiver_plane_depth_bias_clamp)."""
     s = shadow_maps.shape[-1]
     fx = info.uv[..., 0] * s - 0.5
     fy = info.uv[..., 1] * s - 0.5
@@ -295,6 +319,14 @@ def filter_shadow_pcf(shadow_maps: Array, info: CascadeSamplingInfo,
     tx = fx - x0
     ty = fy - y0
     ref = info.depth[..., 0] - depth_bias
+    bu = bv = None
+    if receiver_plane_bias is not None:
+        bu = receiver_plane_bias[..., 0]
+        bv = receiver_plane_bias[..., 1]
+        # fractional-sampling error term: the bilinear footprint spans one
+        # texel, so shift ref by the worst-case in-footprint depth slope
+        err = (jnp.abs(bu) + jnp.abs(bv)) / s
+        ref = ref - jnp.minimum(err, bias_clamp / s)
 
     # Tap weight = overlap of texel [d, d+1) with the K-wide filter footprint
     # centered at the (fractional) sample position — the same bilinear-tap
@@ -310,7 +342,11 @@ def filter_shadow_pcf(shadow_maps: Array, info: CascadeSamplingInfo,
             wx = jnp.clip(jnp.minimum(dx + 1.0, tx + half)
                           - jnp.maximum(jnp.float32(dx), tx - half), 0.0, 1.0)
             d = _gather_cascade(shadow_maps, info.cascade_idx, y0 + dy, x0 + dx)
-            lit = (ref <= d).astype(jnp.float32)
+            ref_t = ref
+            if bu is not None:
+                adj = (bu * dx + bv * dy) / s
+                ref_t = ref + jnp.clip(adj, -bias_clamp / s, bias_clamp / s)
+            lit = (ref_t <= d).astype(jnp.float32)
             w = wx * wy
             total = total + lit * w
             wsum = wsum + w
@@ -435,10 +471,30 @@ def sample_cascaded_shadows(world_pos: Array, cam_view_z: Array,
     plv = m3.transform_points(world_pos, attribs.world_to_light_view)[..., :3]
     info = find_cascade(attribs, plv, cam_view_z)
 
+    # receiver-plane depth bias (Shadows.fxh:148): d(shadow z)/d(shadow uv)
+    # from screen-space derivatives of the shadow-space position (roll
+    # differences replace the GPU's quad ddx/ddy); only for image-shaped
+    # inputs (H, W, ...)
+    rp_bias = None
+    if mode == ShadowMode.PCF and world_pos.ndim == 3:
+        def _plane_bias(info_):
+            uvz = jnp.concatenate([info_.uv, info_.depth], axis=-1)
+            ddx = jnp.roll(uvz, -1, axis=1) - uvz
+            ddy = jnp.roll(uvz, -1, axis=0) - uvz
+            det = ddx[..., 0] * ddy[..., 1] - ddx[..., 1] * ddy[..., 0]
+            inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            b_u = (ddy[..., 1] * ddx[..., 2] - ddx[..., 1] * ddy[..., 2]) * inv
+            b_v = (ddx[..., 0] * ddy[..., 2] - ddy[..., 0] * ddx[..., 2]) * inv
+            return jnp.stack([b_u, b_v], axis=-1)
+        rp_bias = _plane_bias(info)
+
     def one(info_):
         if mode == ShadowMode.PCF:
-            return filter_shadow_pcf(shadow_maps, info_, pcf_kernel_size,
-                                     depth_bias=attribs.fixed_depth_bias)
+            return filter_shadow_pcf(
+                shadow_maps, info_, pcf_kernel_size,
+                depth_bias=attribs.fixed_depth_bias,
+                receiver_plane_bias=rp_bias,
+                bias_clamp=attribs.receiver_plane_depth_bias_clamp)
         return filter_shadow_vsm(moments, info_, mode)
 
     lit = one(info)

@@ -53,10 +53,14 @@ def parse_animations(doc: dict, reader) -> List[Animation]:
                 continue
             times = reader.accessor(smp["input"]).reshape(-1).astype(np.float32)
             values = reader.accessor(smp["output"]).astype(np.float32)
+            interp = smp.get("interpolation", "LINEAR")
+            if interp == "CUBICSPLINE":
+                # glTF spec: output has 3 elements per keyframe —
+                # (in-tangent, value, out-tangent) — reshape to (N, 3, C).
+                values = values.reshape(len(times), 3, -1)
             anim.channels.append(AnimationChannel(
                 node=node, path=target.get("path", "translation"),
-                times=times, values=values,
-                interpolation=smp.get("interpolation", "LINEAR")))
+                times=times, values=values, interpolation=interp))
         out.append(anim)
     return out
 
@@ -77,23 +81,33 @@ def _sample(ch: AnimationChannel, t: float) -> np.ndarray:
     n = len(times)
     if n == 0:
         return None
+    cubic = ch.interpolation == "CUBICSPLINE"     # values: (N, 3, C)
     if t <= times[0]:
-        v = ch.values[0]
+        v = ch.values[0, 1] if cubic else ch.values[0]
     elif t >= times[-1]:
-        v = ch.values[-1]
+        v = ch.values[-1, 1] if cubic else ch.values[-1]
     else:
         i = int(np.searchsorted(times, t) - 1)
-        f = (t - times[i]) / max(times[i + 1] - times[i], 1e-9)
+        d = max(float(times[i + 1] - times[i]), 1e-9)
+        f = (t - times[i]) / d
         if ch.interpolation == "STEP":
             v = ch.values[i]
+        elif cubic:
+            # Cubic Hermite on (value_k, out-tangent_k, in-tangent_{k+1},
+            # value_{k+1}); glTF spec eq. for CUBICSPLINE samplers.
+            v0 = ch.values[i, 1]
+            b0 = ch.values[i, 2]          # out-tangent of key i
+            a1 = ch.values[i + 1, 0]      # in-tangent of key i+1
+            v1 = ch.values[i + 1, 1]
+            f2, f3 = f * f, f * f * f
+            v = ((2 * f3 - 3 * f2 + 1) * v0 + d * (f3 - 2 * f2 + f) * b0
+                 + (-2 * f3 + 3 * f2) * v1 + d * (f3 - f2) * a1)
+            if ch.path == "rotation":
+                v = v / max(np.linalg.norm(v), 1e-9)
         elif ch.path == "rotation":
             v = _slerp(ch.values[i], ch.values[i + 1], f)
         else:
             v = ch.values[i] + f * (ch.values[i + 1] - ch.values[i])
-    # CUBICSPLINE stores (in-tangent, value, out-tangent) triplets; take value
-    if ch.interpolation == "CUBICSPLINE" and v.shape[0] % 3 == 0:
-        c = v.shape[0] // 3
-        v = v[c:2 * c]
     return v
 
 

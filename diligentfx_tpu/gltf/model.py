@@ -4,11 +4,10 @@ The analogue of GLTF_PBR_Renderer's model consumption (building vertex pools,
 per-material SRBs and attribs from GLTF::Model, GLTF_PBR_Renderer.cpp:373-786)
 and Radient's GLTF converter (RadientGLTFConverter).
 
-Known round-1 limitations, handled honestly:
-  * ALPHA_MODE_MASK renders as opaque (alpha test needs raster-time texture
-    fetch; the visibility buffer defers material evaluation).  BLEND renders
-    through OIT (see pbr/oit.py) when enabled, else opaque.
-  * JPEG images decode through Pillow when available, else a neutral gray.
+Alpha modes: ALPHA_MODE_MASK triangles go to the index-buffer tail and
+resolve through the K-layer alpha-test pass (pbr/oit.resolve_alpha_mask);
+BLEND renders through K-layer OIT (pbr/oit.py) when enabled, else opaque.
+JPEG images decode through Pillow when available, else a neutral gray.
 """
 from __future__ import annotations
 

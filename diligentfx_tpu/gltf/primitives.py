@@ -155,9 +155,10 @@ def transform_mesh(mesh: MeshData, matrix: np.ndarray) -> MeshData:
     """Apply a 4x4 row-vector transform on host."""
     p4 = np.concatenate([mesh.positions, np.ones_like(mesh.positions[:, :1])], axis=-1)
     pos = (p4 @ matrix)[:, :3]
-    # Normals via inverse-transpose of the 3x3 block
+    # Normals via inverse-transpose of the 3x3 block: row vectors transform
+    # as n' = n @ inv(M).T (NOT n @ inv(M), which applies the inverse rotation)
     it = np.linalg.inv(matrix[:3, :3]).T
-    nrm = mesh.normals @ it.T
+    nrm = mesh.normals @ it
     nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
     tan3 = mesh.tangents[:, :3] @ matrix[:3, :3]
     tn = np.linalg.norm(tan3, axis=-1, keepdims=True)

@@ -105,7 +105,11 @@ class HnMesh:
 
     def set_transform(self, m) -> None:
         self.transform = np.asarray(m, np.float32)
-        self._d._bump("mesh_transform")
+        # transform-only change: NOT a scene rebuild — execute() updates the
+        # node matrices in place (the HnGeometryPool dirty-range analogue:
+        # commit stays O(changed), not O(scene))
+        self._d._transform_dirty.add(self.id)
+        self._d.render_param.make_attrib_dirty("mesh_transform")
 
     def set_material(self, material_id: str) -> None:
         self.material_id = material_id
@@ -226,6 +230,7 @@ class HnRenderBuffer:
 class HnRenderDelegateCreateInfo:
     """HnRenderDelegate::CreateInfo (interface:159-278, the TPU-relevant subset)."""
     atlas_size: int = 1024
+    texture_load_budget_bytes: int = 32 << 20
     multi_draw_batch_size: int = 65536
     geometry_load_budget_bytes: int = 64 << 20
     oit_layer_count: int = 4
@@ -274,6 +279,14 @@ class HnRenderDelegate:
         self._state = None
         self.last_output = None
         self._pool_offsets: Dict[str, Tuple[int, int]] = {}
+        # HnTextureRegistry analogue: async loads + dedup + budgeted commit
+        from diligentfx_tpu.hydrogent.texture_registry import HnTextureRegistry
+        self.texture_registry = HnTextureRegistry(
+            atlas_dim=ci.atlas_size,
+            upload_budget_bytes=ci.texture_load_budget_bytes)
+        self._atlas = None
+        self._transform_dirty: set = set()
+        self._mesh_slots: Dict[str, int] = {}
 
     # -- prim factories (HnRenderDelegate prim factories, interface:344-387) --
 
@@ -313,6 +326,10 @@ class HnRenderDelegate:
                     self.index_pool.free(ioff)
                 del store[prim_id]
                 self._bump("prims")
+                # 'prims' bumps alone don't dirty the scene (creation happens
+                # before data arrives), but removal must force a rebuild or
+                # the destroyed mesh keeps rendering (ADVICE r1).
+                self._scene_dirty = True
                 return
 
     def _bump(self, what: str) -> None:
@@ -333,6 +350,16 @@ class HnRenderDelegate:
         entries = []
         mats: List = []
         mat_index: Dict[str, int] = {}
+        mat_tex: List[List[int]] = []      # per material: 5 slot tex ids
+
+        # UsdPreviewSurface texture inputs → PBR texture slots
+        # (HnMaterial texture allocation through HnTextureRegistry,
+        # HnMaterial.cpp; slots match PBR_Textures.fxh ordering)
+        _TEX_SLOTS = {"diffuseColor": 0, "baseColor": 0,
+                      "normal": 1,
+                      "metallicRoughness": 2, "roughness": 2, "metallic": 2,
+                      "emissiveColor": 3,
+                      "occlusion": 4}
 
         def material_slot(mid: str) -> int:
             if mid in mat_index:
@@ -349,6 +376,14 @@ class HnRenderDelegate:
                 alpha_mask_cutoff=net.opacity_threshold,
                 clearcoat_factor=net.clearcoat,
                 clearcoat_roughness_factor=net.clearcoat_roughness))
+            slots = [-1, -1, -1, -1, -1]
+            for param, payload in (net.textures or {}).items():
+                slot = _TEX_SLOTS.get(param)
+                if slot is None or payload is None:
+                    continue
+                slots[slot] = self.texture_registry.allocate(
+                    np.asarray(payload) if not callable(payload) else payload)
+            mat_tex.append(slots)
             mat_index[mid] = len(mats) - 1
             return mat_index[mid]
 
@@ -380,6 +415,7 @@ class HnRenderDelegate:
             tmat.append(np.full(nt, mslot, np.int32))
             tds.append(np.zeros(nt, bool))
             node_m.append(mesh.transform)
+            self._mesh_slots[pid] = slot
             mesh.dirty = False
             v_off += v
             slot += 1
@@ -389,6 +425,20 @@ class HnRenderDelegate:
             return None
         if not mats:
             mats.append(PBRMaterialBasicAttribs.create())
+            mat_tex.append([-1] * 5)
+        # texture registry commit: budgeted atlas build (HnTextureRegistry)
+        self._atlas = self.texture_registry.commit()
+        tex_kwargs = {}
+        if self._atlas is not None and any(t >= 0 for row in mat_tex for t in row):
+            m = len(mats)
+            tex_ids = np.asarray(mat_tex, np.int32)
+            xf = np.zeros((m, 5, 6), np.float32)
+            xf[:, :, 0] = 1.0   # identity 2x2 scale-rotation
+            xf[:, :, 3] = 1.0
+            tex_kwargs = dict(
+                tex_ids=jnp.asarray(tex_ids),
+                tex_uv_transform=jnp.asarray(xf),
+                tex_wraps=jnp.zeros((m, 5, 2), jnp.int32))
         nm = jnp.asarray(np.stack(node_m))
         self._scene = ScenePrimitives(
             positions=jnp.asarray(np.concatenate(pos)),
@@ -400,7 +450,8 @@ class HnRenderDelegate:
             tri_material=jnp.asarray(np.concatenate(tmat)),
             tri_double_sided=jnp.asarray(np.concatenate(tds)),
             node_matrices=nm, prev_node_matrices=nm,
-            materials=stack_materials(mats))
+            materials=stack_materials(mats), **tex_kwargs)
+        self._transform_dirty.clear()
         return self._scene
 
     # -- execution -------------------------------------------------------------
@@ -418,6 +469,20 @@ class HnRenderDelegate:
         if self._scene is None or getattr(self, "_scene_dirty", True):
             self.commit_resources()
             self._scene_dirty = False
+        elif self._transform_dirty:
+            # transform-only commit: O(changed prims) node-matrix update, no
+            # geometry re-upload (HnGeometryPool dirty-range semantics,
+            # include:66); previous matrices keep the motion vectors honest
+            import jax.numpy as jnp
+            nm = np.asarray(self._scene.node_matrices).copy()
+            prev = self._scene.node_matrices
+            for pid in self._transform_dirty:
+                sl = self._mesh_slots.get(pid)
+                if sl is not None and pid in self.meshes:
+                    nm[sl] = self.meshes[pid].transform
+            self._scene = self._scene._replace(
+                node_matrices=jnp.asarray(nm), prev_node_matrices=prev)
+            self._transform_dirty.clear()
         if self._scene is None:
             return None
 
@@ -430,6 +495,10 @@ class HnRenderDelegate:
             self._tm = HnTaskManager(renderer,
                                      self._tm_ci or TaskManagerCreateInfo())
             self._renderer = renderer
+        # textures committed through the registry ride the task manager's
+        # atlas (texture-array "atlas" binding mode)
+        self._tm.atlas = (self._atlas
+                          if self._scene.tex_ids is not None else None)
         if self._state is None:
             self._state = self._tm.initial_state(width, height)
 
@@ -490,6 +559,7 @@ class HnRenderDelegate:
         return HnRenderDelegateMemoryStats(
             vertex_pool_capacity=vcap, vertex_pool_used=vused,
             index_pool_capacity=icap, index_pool_used=iused,
+            atlas_bytes=self.texture_registry.resident_bytes,
             num_meshes=len(self.meshes), num_materials=len(self.materials),
             num_lights=len(self.lights))
 

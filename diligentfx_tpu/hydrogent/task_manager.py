@@ -93,6 +93,30 @@ class TaskManagerCreateInfo:
     # the UpdateAverageLuminance analogue)
     enable_auto_exposure: bool = False
     exposure_adaptation_rate: float = 0.05
+    # ---- task switches for the remaining HnTaskManager task UIDs
+    # (HnTaskManager.hpp:57-78) ------------------------------------------------
+    # ProcessSelection (jump-flood outline) + unselected desaturation in the
+    # composite (HnPostProcessTask.cpp:834-869); selection ids arrive per
+    # frame in FrameSettings.selected_ids
+    enable_selection: bool = False
+    selection_outline_width: float = 3.0
+    desaturation_factor: float = 0.5
+    # CoordinateGrid composite term (HnPostProcess.psh grid)
+    enable_grid: bool = False
+    # RenderBoundBox task (bound box arrives in FrameSettings.bound_box)
+    enable_bound_box: bool = False
+    # Motion-vector field overlay (HnPostProcessTask.cpp:928-943)
+    enable_vector_field: bool = False
+    # ComputeDepthBounds task: FrameOutput.depth_range feeds the next
+    # frame's cascade fitting (AdjustCascadeRange, ShadowMapManager.cpp)
+    enable_depth_bounds: bool = False
+
+
+class BoundBoxParams(NamedTuple):
+    """Per-frame bound box (HnRenderBoundBoxTask input)."""
+    box_min: Array
+    box_max: Array
+    transform: Optional[Array] = None
 
 
 class FrameSettings(NamedTuple):
@@ -103,6 +127,11 @@ class FrameSettings(NamedTuple):
     dof: fx_dof.DoFSettings = fx_dof.DoFSettings()
     bloom: fx_bloom.BloomSettings = fx_bloom.BloomSettings()
     tone_mapping: ToneMappingAttribs = ToneMappingAttribs()
+    # selected prim (node) ids, -1 padded (ProcessSelection input); requires
+    # ci.enable_selection
+    selected_ids: Optional[Array] = None
+    # bound box to draw (requires ci.enable_bound_box)
+    bound_box: Optional[BoundBoxParams] = None
 
 
 class FrameState(NamedTuple):
@@ -114,12 +143,18 @@ class FrameState(NamedTuple):
     ssao: Optional[fx_ssao.SSAOState] = None
     dof: Optional[fx_dof.DoFState] = None
     average_log_lum: Optional[Array] = None   # () adapted exposure
+    # previous-frame depth buffer (PostFXContext prev/reprojected depth
+    # products, hpp:178-188) — drives history disocclusion for SSR/SSAO/TAA
+    prev_depth: Optional[Array] = None
 
 
 class FrameOutput(NamedTuple):
     color: Array          # (H, W, 3) final
     gbuffer: GBufferData  # all AOVs (incl. mesh_id for picking)
     state: FrameState
+    # ComputeDepthBounds product (when ci.enable_depth_bounds): feed into
+    # shadow_map_manager.adjust_cascade_range for next-frame cascade fitting
+    depth_range: Optional["DepthRange"] = None
 
 
 class HnTaskManager:
@@ -158,6 +193,8 @@ class HnTaskManager:
             dof=fx_dof.DoFState(coc_history=z1) if self.ci.enable_dof else None,
             average_log_lum=(jnp.float32(0.3)
                              if self.ci.enable_auto_exposure else None),
+            prev_depth=(z1 + 1.0 if (self.ci.enable_taa or self.ci.enable_ssr
+                                     or self.ci.enable_ssao) else None),
         )
 
     def execute(self, scene: ScenePrimitives, info: RenderInfo,
@@ -311,7 +348,8 @@ def _frame_begin(scene, info: RenderInfo, state: FrameState, ibl_maps,
                         atlas=atlas, use_textures=use_textures,
                         enable_clearcoat=enable_clearcoat,
                         fast_env=ci.fast_env_taps,
-                        light_shadow_kinds=light_shadow_kinds)
+                        light_shadow_kinds=light_shadow_kinds,
+                        emit_debug=ci.view_mode != DebugViewType.NONE)
     return dict(gb=gb, info=info, first_frame=first_frame)
 
 
@@ -325,11 +363,23 @@ def _frame_fx(begin: dict, scene, state: FrameState, ibl_maps,
 
     # ---- PostFXContext -------------------------------------------------------
     closest_motion = dilate_closest_motion(gb.depth, gb.motion)
-    from diligentfx_tpu.postfx.context import PostFXResources
+    from diligentfx_tpu.postfx.context import (PostFXResources,
+                                               disocclusion_mask)
+    prev_depth = state.prev_depth if state.prev_depth is not None else gb.depth
     resources = PostFXResources(
         camera=info.camera, prev_camera=info.camera, depth=gb.depth,
-        prev_depth=gb.depth, motion=gb.motion, closest_motion=closest_motion,
-        frame_index=state.frame_index)
+        prev_depth=prev_depth, motion=gb.motion,
+        closest_motion=closest_motion, frame_index=state.frame_index)
+    # shared history-disocclusion mask (prev-depth vs reprojected depth):
+    # one prev-depth tap serves SSR + SSAO + TAA
+    disocclusion = None
+    if state.prev_depth is not None:
+        use_pl = bool(ci.ssao_use_pallas
+                      or (ci.taa_feature_flags & fx_taa.TAAFeatureFlags.PALLAS_WARP))
+        disocclusion = disocclusion_mask(
+            gb.depth, prev_depth, gb.motion, info.camera,
+            state.prev_view_proj, use_pallas=use_pl)
+        disocclusion = disocclusion | first_frame
 
     # ---- SSAO ----------------------------------------------------------------
     ao = jnp.ones_like(gb.depth)
@@ -340,7 +390,7 @@ def _frame_fx(begin: dict, scene, state: FrameState, ibl_maps,
             settings.ssao, state=state.ssao, motion=gb.motion,
             half_resolution=ci.ssao_half_resolution,
             num_slices=ci.ssao_num_slices, num_steps=ci.ssao_num_steps,
-            use_pallas=ci.ssao_use_pallas)
+            use_pallas=ci.ssao_use_pallas, disocclusion=disocclusion)
         ao = 1.0 - (1.0 - ao) * ci.ssao_scale
 
     # ---- SSR -----------------------------------------------------------------
@@ -358,7 +408,8 @@ def _frame_fx(begin: dict, scene, state: FrameState, ibl_maps,
             settings.ssr._replace(max_traversal_intersections=ssr_steps),
             state=state.ssr, motion=gb.motion,
             half_resolution=ci.ssr_half_resolution,
-            resolution_divisor=ci.ssr_resolution_divisor)
+            resolution_divisor=ci.ssr_resolution_divisor,
+            disocclusion=disocclusion)
 
     # ---- Composite (HnPostProcess.psh analogue) -------------------------------
     ao1 = ao[..., None]
@@ -381,17 +432,59 @@ def _frame_fx(begin: dict, scene, state: FrameState, ibl_maps,
         winv_b = jnp.where(jnp.abs(clip_b[:, 3]) > 1e-12, 1.0 / clip_b[:, 3], 0.0)
         blend_scene = scene._replace(tri_material=scene.blend_tri_material,
                                      indices=scene.blend_indices)
+        tri_alpha = scene.materials.base_color_factor[
+            scene.blend_tri_material][:, 3]
         kl = oit.rasterize_klayers(clip_b, scene.blend_indices,
                                    width=pad_w, height=pad_h, cfg=cfg,
-                                   num_layers=ci.oit_layer_count)
+                                   num_layers=ci.oit_layer_count,
+                                   tri_alpha=tri_alpha)
         kl = oit.KLayerBuffer(
             depth=kl.depth[:, :height, :width],
             tri_id=kl.tri_id[:, :height, :width],
             bary=kl.bary[:, :height, :width],
-            overflow=kl.overflow[:height, :width])
+            overflow=kl.overflow[:height, :width],
+            tail_alpha=(kl.tail_alpha[:height, :width]
+                        if kl.tail_alpha is not None else None))
         lcol, lalpha = oit.shade_klayers(blend_scene, info, ibl_maps, kl,
                                          wp, wn, winv_b, use_ibl=use_ibl)
         color = oit.composite_klayers(color, gb.depth, kl, lcol, lalpha)
+
+    # ---- CoordinateGrid / BoundBox / ProcessSelection tasks ---------------------
+    # (HnTaskManager task UIDs renderBoundBox/processSelection + the grid,
+    # selection-outline and desaturation terms of HnPostProcess.psh,
+    # HnPostProcessTask.cpp:834-869)
+    if ci.enable_grid:
+        from diligentfx_tpu.components.renderers import render_coordinate_grid
+        color = render_coordinate_grid(color, gb.depth, info.camera)
+    if ci.enable_bound_box and settings.bound_box is not None:
+        from diligentfx_tpu.components.renderers import render_bound_box
+        bb = settings.bound_box
+        color = render_bound_box(color, gb.depth, info.camera,
+                                 bb.box_min, bb.box_max, transform=bb.transform)
+    if ci.enable_selection and settings.selected_ids is not None:
+        from diligentfx_tpu.components.selection import (
+            desaturate_unselected, selection_outline)
+        from diligentfx_tpu.postfx.tonemap import reverse_exp_tone_map
+        ids = settings.selected_ids
+        selected = ((gb.mesh_id[..., None] == ids[None, None, :])
+                    & (ids >= 0)[None, None, :]).any(-1)
+        color = desaturate_unselected(color, selected,
+                                      desaturation=ci.desaturation_factor)
+        # pre-compensate the (post-tonemap) outline color so it survives the
+        # tone map, like the reference's ReverseExpToneMap
+        # (HnPostProcessTask.cpp:844-850; Components ToneMapping host helper)
+        oc = reverse_exp_tone_map(
+            jnp.array([1.0, 0.6, 0.1], jnp.float32),
+            ave_log_lum=info.renderer_params.average_log_lum)
+        color = selection_outline(color, selected,
+                                  outline_width=ci.selection_outline_width,
+                                  outline_color=oc)
+
+    # ---- ComputeDepthBounds task -------------------------------------------------
+    depth_range = None
+    if ci.enable_depth_bounds:
+        from diligentfx_tpu.components.depth_range import compute_depth_range
+        depth_range = compute_depth_range(gb.depth, info.camera)
 
     # ---- Epipolar light scattering (god rays + atmosphere) ---------------------
     if ci.enable_light_scattering and atmosphere_lut is not None:
@@ -425,7 +518,8 @@ def _frame_fx(begin: dict, scene, state: FrameState, ibl_maps,
 
     return dict(color=color, gb=gb, ao=ao, info=info, resources=resources,
                 first_frame=first_frame, new_ssao=new_ssao, new_ssr=new_ssr,
-                new_exposure=new_exposure)
+                new_exposure=new_exposure, disocclusion=disocclusion,
+                depth_range=depth_range)
 
 
 def _frame_post(pre: dict, state: FrameState, settings: FrameSettings, *,
@@ -445,9 +539,10 @@ def _frame_post(pre: dict, state: FrameState, settings: FrameSettings, *,
             lambda h, c: jnp.where(first_frame, c, h),
             state.taa, fx_taa.TAAState(color=color,
                                        sample_count=jnp.ones_like(gb.depth)))
-        color, new_taa = fx_taa.taa_accumulate(color, taa_state, resources,
-                                               settings.taa,
-                                               feature_flags=ci.taa_feature_flags)
+        color, new_taa = fx_taa.taa_accumulate(
+            color, taa_state, resources, settings.taa,
+            feature_flags=ci.taa_feature_flags,
+            disocclusion=pre.get("disocclusion"))
 
     # ---- DoF / Bloom -----------------------------------------------------------
     new_dof = state.dof
@@ -470,12 +565,19 @@ def _frame_post(pre: dict, state: FrameState, settings: FrameSettings, *,
     if ci.view_mode == DebugViewType.NONE and ci.convert_output_to_srgb:
         color = m3.linear_to_srgb(color)
 
+    # ---- motion-vector field debug overlay (HnPostProcessTask.cpp:928-943) ----
+    if ci.enable_vector_field:
+        from diligentfx_tpu.components.renderers import render_vector_field
+        color = render_vector_field(color, gb.motion)
+
     new_state = FrameState(
         frame_index=state.frame_index + 1,
         prev_view_proj=info.camera.view_proj,
         taa=new_taa, ssr=new_ssr, ssao=new_ssao, dof=new_dof,
-        average_log_lum=new_exposure if ci.enable_auto_exposure else state.average_log_lum)
-    return FrameOutput(color=color, gbuffer=gb, state=new_state)
+        average_log_lum=new_exposure if ci.enable_auto_exposure else state.average_log_lum,
+        prev_depth=gb.depth if state.prev_depth is not None else None)
+    return FrameOutput(color=color, gbuffer=gb, state=new_state,
+                       depth_range=pre.get("depth_range"))
 
 
 _frame_begin_jit = functools.partial(
@@ -491,34 +593,95 @@ _frame_post_jit = functools.partial(
 
 
 def _debug_aov(view: DebugViewType, gb: GBufferData, ao):
-    """Visualize a G-buffer AOV (the HnPostProcess debug-view output)."""
+    """Visualize a G-buffer AOV — the full 35-view DebugViewType table
+    (PBR_Renderer.hpp:401-439, RenderPBR.psh:574-613, HN_VIEW_MODE_*).
+    Extension views read gb.debug (render with emit_debug=True); absent
+    extensions render black, matching a shader compiled without them."""
+    V = DebugViewType
     ones3 = jnp.ones_like(gb.base_color)
     hitm = gb.hit[..., None]
-    if view == DebugViewType.BASE_COLOR:
+    dbg = gb.debug or {}
+
+    def d(key, default_ch=3):
+        if key in dbg:
+            v = dbg[key]
+            return v * jnp.ones_like(ones3) if v.shape[-1] == 1 else v
+        return jnp.zeros_like(ones3)
+
+    if view == V.TEXCOORD0 or view == V.TEXCOORD1:
+        # single UV set (TEXCOORD1 aliases 0, like a shader with one set)
+        uv = dbg.get("texcoord0")
+        out = (jnp.concatenate([uv % 1.0, jnp.zeros_like(uv[..., :1])], -1)
+               if uv is not None else jnp.zeros_like(ones3))
+    elif view == V.BASE_COLOR:
         out = gb.base_color
-    elif view == DebugViewType.METALLIC:
-        out = gb.material_data[..., 0:1] * ones3
-    elif view == DebugViewType.ROUGHNESS:
-        out = gb.material_data[..., 1:2] * ones3
-    elif view == DebugViewType.OCCLUSION:
+    elif view == V.TRANSPARENCY:
+        out = d("transparency")
+    elif view == V.OCCLUSION:
         out = (gb.material_data[..., 2:3] * ao[..., None]) * ones3
-    elif view == DebugViewType.SHADING_NORMAL:
-        out = gb.normal_world * 0.5 + 0.5
-    elif view == DebugViewType.MESH_NORMAL:
+    elif view == V.EMISSIVE:
+        out = d("emissive")
+    elif view == V.METALLIC:
+        out = gb.material_data[..., 0:1] * ones3
+    elif view == V.ROUGHNESS:
+        out = gb.material_data[..., 1:2] * ones3
+    elif view == V.DIFFUSE_COLOR:
+        out = d("diffuse_color")
+    elif view == V.SPECULAR_COLOR:
+        out = d("specular_color")
+    elif view == V.REFLECTANCE90:
+        out = d("reflectance90")
+    elif view == V.MESH_NORMAL:
         out = gb.normal_view * 0.5 + 0.5
-    elif view == DebugViewType.MOTION_VECTORS:
+    elif view == V.SHADING_NORMAL:
+        out = gb.normal_world * 0.5 + 0.5
+    elif view == V.MOTION_VECTORS:
         out = jnp.concatenate([jnp.abs(gb.motion) * 20.0,
                                jnp.zeros_like(gb.motion[..., :1])], axis=-1)
-    elif view == DebugViewType.SCENE_DEPTH:
-        out = gb.depth[..., None] * ones3
-    elif view == DebugViewType.PUNCTUAL_LIGHTING:
+    elif view == V.NDOTV:
+        out = d("ndotv")
+    elif view == V.PUNCTUAL_LIGHTING:
         out = gb.direct
-    elif view == DebugViewType.DIFFUSE_IBL:
+    elif view == V.DIFFUSE_IBL:
         out = gb.ambient_diffuse
-    elif view == DebugViewType.SPECULAR_IBL:
+    elif view == V.SPECULAR_IBL:
         out = gb.ambient_specular
-    elif view == DebugViewType.EMISSIVE:
-        out = gb.direct * 0.0
+    elif view == V.WHITE_BASE_COLOR:
+        # lighting response with base color forced to white: direct light +
+        # ambient, base-color factor divided out of the diffuse terms
+        denom = jnp.maximum(gb.base_color, 1e-3)
+        out = gb.direct + (gb.ambient_diffuse / denom)
+    elif view == V.CLEAR_COAT:
+        out = d("clearcoat_lit")
+    elif view == V.CLEAR_COAT_FACTOR:
+        out = d("clearcoat_factor")
+    elif view == V.CLEAR_COAT_ROUGHNESS:
+        out = d("clearcoat_roughness")
+    elif view == V.CLEAR_COAT_NORMAL:
+        out = d("clearcoat_normal") * 0.5 + 0.5
+    elif view == V.SHEEN:
+        out = d("sheen_lit")
+    elif view == V.SHEEN_COLOR:
+        out = d("sheen_color")
+    elif view == V.SHEEN_ROUGHNESS:
+        out = d("sheen_roughness")
+    elif view == V.ANISOTROPY_STRENGTH:
+        out = d("anisotropy_strength")
+    elif view == V.ANISOTROPY_DIRECTION:
+        out = d("anisotropy_direction") * 0.5 + 0.5
+    elif view == V.IRIDESCENCE:
+        out = d("iridescence_fresnel")
+    elif view == V.IRIDESCENCE_FACTOR:
+        out = d("iridescence_factor")
+    elif view == V.IRIDESCENCE_THICKNESS:
+        # normalized against the glTF-typical 1200 nm ceiling
+        out = d("iridescence_thickness") / 1200.0
+    elif view == V.TRANSMISSION:
+        out = d("transmission")
+    elif view == V.THICKNESS:
+        out = d("thickness")
+    elif view == V.SCENE_DEPTH:
+        out = gb.depth[..., None] * ones3
     else:
         out = gb.base_color
     return jnp.where(hitm, out, 0.0)

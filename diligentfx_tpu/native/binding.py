@@ -22,7 +22,9 @@ def _load():
         return _lib
     try:
         from diligentfx_tpu.native.build import build
-        path = build()
+        # DFX_NATIVE_LIB overrides the library path (the ASAN CI tier loads
+        # the sanitizer build through this seam, tests/test_native_asan.py)
+        path = os.environ.get("DFX_NATIVE_LIB") or build()
         lib = ctypes.CDLL(path)
     except Exception:
         _lib = False

@@ -56,10 +56,17 @@ void dfx_content_hash(const uint8_t* data, uint64_t len, uint64_t seed,
         p += 16;
         n -= 16;
     }
-    uint64_t tail = 0;
+    // Tail: n in [1, 15] — read as up to two 8-byte words so every byte
+    // enters the hash and nothing writes past an 8-byte buffer.
     if (n) {
-        std::memcpy(&tail, p, n);
+        uint64_t tail = 0;
+        std::memcpy(&tail, p, n < 8 ? n : 8);
         h1 ^= mix64(tail * P3);
+        if (n > 8) {
+            uint64_t tail2 = 0;
+            std::memcpy(&tail2, p + 8, n - 8);
+            h2 ^= mix64(tail2 * P2);
+        }
     }
     h1 = mix64(h1 + h2);
     h2 = mix64(h2 ^ h1);

@@ -144,15 +144,24 @@ def _clip_near_plane(clip: Array, indices: Array, eps: float):
 
 def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
                     double_sided, front_ccw: bool, near_eps: float,
-                    screen_size=None, screen_offset=(0, 0)):
+                    screen_size=None, screen_offset=(0, 0),
+                    attrs: Optional[Array] = None,
+                    winv_vert: Optional[Array] = None,
+                    tri_consts: Optional[Array] = None):
     """Near-clip + raster setup.
 
     screen_size/screen_offset support viewport bands for multi-chip tile
     sharding (parallel/tiling.py): NDC maps to the FULL screen_size, then
     shifts by screen_offset so rows [offset, offset+height) land locally.
 
+    When `attrs` (V, C) + `winv_vert` (V,) are given, also returns per-raster-
+    primitive attribute planes for the fused kernel: perspective-correct
+    interpolation is N_c(x,y)/D(x,y) with N_c, D affine per triangle
+    (N_c = Σ λs_j a_j w⁻¹_j, D = Σ λs_j w⁻¹_j; λs affine in screen space),
+    laid out [D(3), (A,B,C) per channel, tri_consts (K)] → (2T, 3*(C+1)+K).
+
     Returns (setup (2T, 16) — see _SETUP_DIM, valid (2T,),
-             bbox (2T, 4) [xmin,ymin,xmax,ymax], orig_id (2T,))."""
+             bbox (2T, 4) [xmin,ymin,xmax,ymax], orig_id (2T,)[, planes])."""
     verts, barys, alive, orig = _clip_near_plane(clip, indices, near_eps)
     full_w, full_h = screen_size if screen_size is not None else (width, height)
     off_x, off_y = screen_offset
@@ -229,7 +238,24 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
     on_screen = (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
     valid = valid & on_screen
     bbox = jnp.stack([xmin, ymin, xmax, ymax], axis=-1)
-    return setup, valid, bbox, orig
+    if attrs is None:
+        return setup, valid, bbox, orig
+
+    # ---- attribute planes for the fused raster+shade kernel ---------------
+    aw = attrs * winv_vert[:, None]                          # (V, C)
+    corner = jnp.concatenate(
+        [winv_vert[indices][..., None], aw[indices]], -1)    # (T, 3, 1+C)
+    corner2 = jnp.tile(corner, (2, 1, 1))                    # (2T, 3, 1+C)
+    # value of N_c (and D at column 0) at each sub-triangle corner
+    cv = jnp.einsum("tkj,tjc->tkc", lam_s, corner2,
+                    precision=jax.lax.Precision.HIGHEST)     # (2T, 3, 1+C)
+    pa = a0[:, None] * cv[:, 0] + a1[:, None] * cv[:, 1] + a2[:, None] * cv[:, 2]
+    pb = b0[:, None] * cv[:, 0] + b1[:, None] * cv[:, 1] + b2[:, None] * cv[:, 2]
+    pc = c0[:, None] * cv[:, 0] + c1[:, None] * cv[:, 1] + c2[:, None] * cv[:, 2]
+    planes = jnp.stack([pa, pb, pc], axis=-1).reshape(pa.shape[0], -1)
+    if tri_consts is not None:
+        planes = jnp.concatenate([planes, jnp.tile(tri_consts, (2, 1))], -1)
+    return setup, valid, bbox, orig, planes
 
 
 def _bin_triangles(valid: Array, bbox: Array, width: int, height: int,
@@ -461,6 +487,89 @@ def rasterize(clip: Array, indices: Array, *, width: int, height: int,
         num_culled=jnp.sum((~valid).astype(jnp.int32)),
     )
     return vb, stats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "cfg", "front_ccw", "depth_less",
+                     "n_ch", "deriv_channels", "interpret"))
+def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
+                    tri_consts: Optional[Array], mat_table: Optional[Array],
+                    *, width: int, height: int, cfg: RasterizerConfig,
+                    n_ch: int, deriv_channels: tuple = (),
+                    double_sided: Optional[Array] = None,
+                    front_ccw: bool = True, depth_less: bool = True,
+                    near_eps: float = 1e-3,
+                    interpret: bool = False,
+                    screen_size=None, screen_offset=(0, 0)
+                    ) -> Tuple[VisibilityBuffer, Array, RasterStats]:
+    """Fused rasterize + perspective-correct attribute interpolation +
+    material-row fetch in one Pallas kernel (the round-2 gather killer,
+    PERF_NOTES.md).  Replaces rasterize + interpolate_all + the per-pixel
+    material-table gather of the deferred path.
+
+    Args:
+      attrs: (V, n_ch) packed per-vertex attributes.
+      winv: (V,) 1/clip_w (0 for degenerate).
+      tri_consts: optional (T, K) per-ORIGINAL-triangle constants (e.g.
+        material id, node id); emitted per pixel after the channels/derivs.
+      mat_table: optional (n_mrow, M) transposed material table; requires
+        tri_consts[:, 0] == material id.
+      deriv_channels: channel indices whose d/dx, d/dy are also emitted
+        (between the channels and the constants in the output).
+    Returns (vb, out (H, W, OUT_CH), stats) with OUT_CH =
+      n_ch + 2*len(deriv_channels) + K + n_mrow; vb.bary is zeros (attributes
+      are already interpolated — no downstream bary use).
+    """
+    from diligentfx_tpu.ops.raster_pallas import raster_tiles_fused_pallas
+    if width % cfg.tile_w or height % cfg.tile_h:
+        raise ValueError(f"{width}x{height} not tile-aligned")
+    setup, valid, bbox, _orig, planes = _triangle_setup(
+        clip, indices, width, height, double_sided, front_ccw, near_eps,
+        screen_size=screen_size, screen_offset=screen_offset,
+        attrs=attrs, winv_vert=winv, tri_consts=tri_consts)
+    _, compact, counts, max_count, overflow, big_overflow = _bin_triangles(
+        valid, bbox, width, height, cfg)
+    tiles_x = width // cfg.tile_w
+    tiles_y = height // cfg.tile_h
+    n_const = 0 if tri_consts is None else tri_consts.shape[1]
+    fn = raster_tiles_fused_pallas
+    if interpret:
+        import jax.experimental.pallas as _pl
+        orig_call = _pl.pallas_call
+        _pl.pallas_call = functools.partial(orig_call, interpret=True)
+        try:
+            zt, idt, outt = fn(setup, planes, compact, counts, mat_table,
+                               th=cfg.tile_h, tw=cfg.tile_w, tiles_x=tiles_x,
+                               n_ch=n_ch, n_const=n_const,
+                               deriv_channels=deriv_channels,
+                               depth_less=depth_less, chunk=cfg.chunk)
+        finally:
+            _pl.pallas_call = orig_call
+    else:
+        zt, idt, outt = fn(setup, planes, compact, counts, mat_table,
+                           th=cfg.tile_h, tw=cfg.tile_w, tiles_x=tiles_x,
+                           n_ch=n_ch, n_const=n_const,
+                           deriv_channels=deriv_channels,
+                           depth_less=depth_less, chunk=cfg.chunk)
+
+    def untile(x):
+        c = x.reshape(tiles_y, tiles_x, cfg.tile_h, cfg.tile_w)
+        return c.transpose(0, 2, 1, 3).reshape(height, width)
+
+    z, tid = untile(zt), untile(idt)
+    # channel-major kernel output: batch the cheap 4D untile over channels,
+    # then stack to (H, W, C) (the tile-major 5D transpose was pathological)
+    out_ch = outt.shape[0]
+    outc = (outt.reshape(out_ch, tiles_y, tiles_x, cfg.tile_h, cfg.tile_w)
+            .transpose(0, 1, 3, 2, 4).reshape(out_ch, height, width))
+    out = jnp.moveaxis(outc, 0, -1)
+    vb = VisibilityBuffer(depth=z, tri_id=tid,
+                          bary=jnp.zeros((height, width, 2), jnp.float32))
+    stats = RasterStats(max_bin_count=max_count, bin_overflow=overflow,
+                        big_overflow=big_overflow,
+                        num_culled=jnp.sum((~valid).astype(jnp.int32)))
+    return vb, out, stats
 
 
 # ---------------------------------------------------------------------------

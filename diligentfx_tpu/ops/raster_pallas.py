@@ -20,7 +20,7 @@ Performance notes (measured on v5e):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -81,6 +81,212 @@ def _raster_tile_kernel(counts_ref,            # scalar prefetch: (num_tiles,)
 
     n_chunks = pl.cdiv(count, chunk)
     jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _gather_table_cols(table_ref, row: int, slot: Array, cap_pad: int,
+                       th: int, tw: int) -> Array:
+    """table_ref[0?, row, slot[p]] per pixel — a VMEM column gather built
+    from lane-range-128 `take_along_axis` segments + selects (the one
+    per-lane gather Mosaic supports, PERF_NOTES.md)."""
+    acc = jnp.zeros((th, tw), jnp.float32)
+    for j in range(cap_pad // 128):
+        seg = table_ref[row, j * 128:(j + 1) * 128]          # (128,)
+        seg2 = jnp.broadcast_to(seg[None, :], (th, tw))
+        loc = jnp.clip(slot - j * 128, 0, 127)
+        g = jnp.take_along_axis(seg2, loc, axis=1)
+        acc = jnp.where((slot >= j * 128) & (slot < (j + 1) * 128), g, acc)
+    return acc
+
+
+def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
+                       mattab_ref, z_ref, id_ref, out_ref, slot_scr,
+                       *, th: int, tw: int, cap: int, cap_pad: int, chunk: int,
+                       depth_sign: float, depth_clear: float,
+                       n_ch: int, n_const: int, deriv_channels: tuple,
+                       n_mrow: int, m_pad: int):
+    """Visibility raster + fused attribute/material epilogue.
+
+    Phase 1 is the z-loop of `_raster_tile_kernel` (also recording the
+    winning candidate SLOT).  Phase 2 interpolates every attribute channel
+    as an affine numerator plane over a shared denominator plane
+    (perspective-correct: N_c(x,y)/D(x,y), coefficients per candidate in
+    `planesT`), evaluates optional screen derivatives, reads per-triangle
+    constants, and gathers the winning material row from `mattab` — all
+    tile-local in VMEM, zero HBM gathers.  This collapses the deferred
+    interpolate + material passes (~53 ms of XLA gathers at 1080p) into
+    the raster kernel (PERF_NOTES.md round-2 plan)."""
+    t = pl.program_id(0)
+    count = jnp.minimum(counts_ref[t], cap)
+    tiles_x = tiles_x_ref[0]
+
+    x0 = ((t % tiles_x) * tw).astype(jnp.float32)
+    y0 = ((t // tiles_x) * th).astype(jnp.float32)
+    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + 0.5
+    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
+
+    z_ref[0] = jnp.full((th, tw), depth_clear, jnp.float32)
+    id_ref[0] = jnp.full((th, tw), -1, jnp.int32)
+    slot_scr[...] = jnp.zeros((th, tw), jnp.int32)
+
+    def body(i, _):
+        base = pl.multiple_of(i * chunk, chunk)
+        s = setup_ref[0, pl.ds(base, chunk), :]              # (chunk, 16)
+
+        def coef(j):
+            return s[:, j][:, None, None]                    # (chunk, 1, 1)
+
+        l0 = coef(0) * px[None] + coef(1) * py[None] + coef(2)
+        l1 = coef(3) * px[None] + coef(4) * py[None] + coef(5)
+        l2 = 1.0 - l0 - l1
+        z = coef(6) * px[None] + coef(7) * py[None] + coef(8)
+        cover = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+
+        for k in range(chunk):
+            idx = base + k
+            zb = z_ref[0]
+            take = cover[k] & (depth_sign * z[k] < depth_sign * zb) & (idx < count)
+            tri = s[k, 15].astype(jnp.int32)
+            z_ref[0] = jnp.where(take, z[k], zb)
+            id_ref[0] = jnp.where(take, tri, id_ref[0])
+            slot_scr[...] = jnp.where(take, idx, slot_scr[...])
+        return 0
+
+    jax.lax.fori_loop(0, pl.cdiv(count, chunk), body, 0)
+
+    # ---- epilogue: tile-local interpolation + material fetch ---------------
+    slot = slot_scr[...]
+    pt = planesT_ref[0]
+    if pt.shape[0] == cap_pad:
+        # planes arrived row-major (cap_pad, P) straight from the XLA gather
+        # (XLA transposes of gathered tables are pathological, PERF_NOTES.md
+        # round 2) — transpose tile-locally in VMEM instead.
+        pt = pt.T
+
+    def val_at(v):
+        return _gather_table_cols(pt, v, slot, cap_pad, th, tw)
+
+    d_a, d_b, d_c = val_at(0), val_at(1), val_at(2)
+    den = d_a * px + d_b * py + d_c
+    rcp = 1.0 / jnp.where(jnp.abs(den) < 1e-20, 1.0, den)
+
+    ch_vals = []
+    derivs = []
+    for c in range(n_ch):
+        a = val_at(3 + 3 * c)
+        b = val_at(4 + 3 * c)
+        cc = val_at(5 + 3 * c)
+        val = (a * px + b * py + cc) * rcp
+        ch_vals.append(val)
+        if c in deriv_channels:
+            derivs.append((a - val * d_a) * rcp)             # d(val)/dx
+            derivs.append((b - val * d_b) * rcp)             # d(val)/dy
+    consts = [val_at(3 + 3 * n_ch + k) for k in range(n_const)]
+
+    outs = ch_vals + derivs + consts
+    if n_mrow:
+        mid = consts[0].astype(jnp.int32)                    # const 0 = mat id
+        for r in range(n_mrow):
+            outs.append(_gather_table_cols(mattab_ref, r, mid, m_pad, th, tw))
+    for i, o in enumerate(outs):
+        out_ref[i, 0] = o
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "th", "tw", "tiles_x", "n_ch", "n_const", "deriv_channels", "depth_less",
+    "chunk", "transpose_in_kernel"))
+def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
+                              counts: Array, mat_table: Optional[Array], *,
+                              th: int, tw: int, tiles_x: int,
+                              n_ch: int, n_const: int,
+                              deriv_channels: tuple = (),
+                              depth_less: bool = True, chunk: int = 8,
+                              transpose_in_kernel: bool = False):
+    """Fused visibility raster + attribute interpolation + material fetch.
+
+    Args:
+      setup: (T, 16) raster plane coefficients (raster._triangle_setup).
+      planes: (T, P) attribute planes: [D(3), (A,B,C) per channel, consts]
+        with P = 3*(n_ch+1) + n_const (raster._triangle_setup attrs path).
+      candidates/counts: compact per-tile lists (raster._bin_triangles).
+      mat_table: optional (n_mrow, M) material table transposed; const 0 must
+        then be the per-triangle material id.
+    Returns (z (tiles,th,tw) f32, id (tiles,th,tw) i32,
+             out (tiles, OUT_CH, th, tw) f32) with OUT_CH =
+             n_ch + 2*len(deriv_channels) + n_const + n_mrow.
+    """
+    num_tiles, cap = candidates.shape
+    if setup.shape[1] < SETUP_ROWS:
+        setup = jnp.pad(setup, ((0, 0), (0, SETUP_ROWS - setup.shape[1])))
+    safe = jnp.maximum(candidates, 0)
+    g_setup = setup[safe]                                    # (tiles, cap, 16)
+
+    cap_pad = -(-cap // 128) * 128
+    p = planes.shape[1]
+    p_pad = -(-p // 8) * 8
+    if transpose_in_kernel:
+        # row-major gather only; the kernel transposes its tile's block in
+        # VMEM (XLA transposes of gathered tables run at MB/s, PERF_NOTES.md)
+        planes_p = jnp.pad(planes, ((0, 0), (0, p_pad - p)))
+        cand_p = jnp.pad(safe, ((0, 0), (0, cap_pad - cap)))
+        g_planes = planes_p[cand_p]                          # (tiles, capP, P)
+    else:
+        g_planes = planes[safe].transpose(0, 2, 1)           # (tiles, P, cap)
+        g_planes = jnp.pad(g_planes,
+                           ((0, 0), (0, p_pad - p), (0, cap_pad - cap)))
+
+    if mat_table is not None:
+        n_mrow, m = mat_table.shape
+        m_pad = -(-m // 128) * 128
+        mattab = jnp.pad(mat_table, ((0, 0), (0, m_pad - m)))
+    else:
+        n_mrow, m_pad = 0, 128
+        mattab = jnp.zeros((8, m_pad), jnp.float32)
+
+    out_ch = n_ch + 2 * len(deriv_channels) + n_const + n_mrow
+    depth_clear = jnp.inf if depth_less else -jnp.inf
+    kernel = functools.partial(
+        _fused_tile_kernel, th=th, tw=tw, cap=cap, cap_pad=cap_pad,
+        chunk=chunk, depth_sign=1.0 if depth_less else -1.0,
+        depth_clear=float(depth_clear), n_ch=n_ch, n_const=n_const,
+        deriv_channels=tuple(deriv_channels), n_mrow=n_mrow, m_pad=m_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, cap, SETUP_ROWS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((1, cap_pad, p_pad), lambda i, *_: (i, 0, 0),
+                          memory_space=pltpu.VMEM) if transpose_in_kernel
+             else pl.BlockSpec((1, p_pad, cap_pad), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM)),
+            pl.BlockSpec(mattab.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # CHANNEL-major output (out_ch, tiles, th, tw): per-channel
+            # untiling then uses the same cheap 4D pattern as z/id — the
+            # tile-major (tiles, C, th, tw) layout forced a pathological 5D
+            # relayout in XLA (measured seconds at 1080p)
+            pl.BlockSpec((out_ch, 1, th, tw), lambda i, *_: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32)],
+    )
+    z, tid, out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, th, tw), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, th, tw), jnp.int32),
+            jax.ShapeDtypeStruct((out_ch, num_tiles, th, tw), jnp.float32),
+        ],
+    )(counts, jnp.array([tiles_x], jnp.int32), g_setup, g_planes, mattab)
+    return z, tid, out
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw", "tiles_x",

@@ -32,18 +32,17 @@ TILE_W = 128
 
 
 def _warp_kernel(img_hbm, offy_ref, offx_ref, out_ref, scratch, sem,
-                 *, halo_r: int, halo_c: int, height: int, width: int,
-                 channels: int, tiles_x: int):
+                 *, halo_r: int, halo_c: int, win_h: int, win_w: int,
+                 height: int, width: int, channels: int, tiles_x: int):
     t = pl.program_id(0)
     ty = t // tiles_x
     tx = t % tiles_x
     y0 = ty * TILE_H
     x0 = tx * TILE_W
 
-    win_h = TILE_H + 2 * halo_r
-    win_w = TILE_W + 2 * halo_c
-
-    # window DMA with clamped, tile-aligned origin
+    # window DMA with clamped, tile-aligned origin.  win_w includes one
+    # extra TILE_W when halo_c % TILE_W != 0 so the round-down of rx (up to
+    # TILE_W - 64 leftward) cannot eat the right halo (ADVICE r1).
     ry = jnp.clip(y0 - halo_r, 0, height - win_h)
     ry = pl.multiple_of((ry // TILE_H) * TILE_H, TILE_H)
     rx = jnp.clip(x0 - halo_c, 0, width - win_w)
@@ -122,7 +121,13 @@ def warp_bilinear_pallas(img: Array, offset_px: Array, *,
     tiles_y = h // TILE_H
     num_tiles = tiles_x * tiles_y
     win_h = TILE_H + 2 * halo_r
+    # The kernel rounds the window origin DOWN to a TILE_W multiple; when
+    # halo_c is not a TILE_W multiple that shift (64 px) would otherwise
+    # leave zero right halo, so widen the window by one extra TILE_W.
     win_w = TILE_W + 2 * halo_c
+    if halo_c % TILE_W != 0 and win_w + TILE_W <= w:
+        win_w += TILE_W
+    win_w = min(win_w, w)
 
     cx = max(halo_c - 1.0, 0.0)
     cy = max(halo_r - 1.0, 0.0)
@@ -137,8 +142,8 @@ def warp_bilinear_pallas(img: Array, offset_px: Array, *,
     ox_t = tile3(ox)
 
     kernel = functools.partial(
-        _warp_kernel, halo_r=halo_r, halo_c=halo_c, height=h, width=w,
-        channels=1, tiles_x=tiles_x)
+        _warp_kernel, halo_r=halo_r, halo_c=halo_c, win_h=win_h, win_w=win_w,
+        height=h, width=w, channels=1, tiles_x=tiles_x)
 
     outs = []
     for ch in range(c):

@@ -45,72 +45,37 @@ class GBufferData(NamedTuple):
     spec_env_factor: Array   # (H, W, 3) k_s * A + B (for SSR substitution)
     background: Array        # (H, W, 3) env radiance where no geometry
     hit: Array               # (H, W) bool
+    # extra per-pixel products for the 35 DebugViewType AOVs
+    # (PBR_Renderer.hpp:401-439); only populated when emit_debug=True
+    debug: Optional[dict] = None
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "width", "height", "cfg", "use_ibl", "use_lights", "shadow_mode",
-    "pcf_kernel_size", "use_textures", "enable_clearcoat", "fast_env",
-    "light_shadow_kinds"))
-def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
-                   *, width: int, height: int, cfg: RasterizerConfig,
-                   use_ibl: bool = True, use_lights: bool = True,
-                   shadow_mode=None, pcf_kernel_size: int = 3,
-                   atlas=None, use_textures: bool = False,
-                   enable_clearcoat: bool = False,
-                   fast_env: bool = False,
-                   light_shadow_kinds: tuple = ()) -> GBufferData:
-    pad_w, pad_h = rz.pad_viewport(width, height, cfg)
+def _material_table(mats) -> Array:
+    """The aligned (M, 20) material table — ONE per-pixel row gather (or the
+    fused kernel's in-VMEM fetch) instead of one gather per field."""
+    return jnp.concatenate([
+        mats.base_color_factor,                       # 0:4
+        mats.emissive_factor,                         # 4:7
+        mats.metallic_factor[:, None],                # 7
+        mats.roughness_factor[:, None],               # 8
+        mats.normal_scale[:, None],                   # 9
+        mats.occlusion_factor[:, None],               # 10
+        mats.workflow[:, None].astype(jnp.float32),   # 11
+        mats.clearcoat_factor[:, None],               # 12
+        mats.clearcoat_roughness_factor[:, None],     # 13
+        mats.specular_factor,                         # 14:17 (spec-gloss)
+        mats.alpha_mask_cutoff[:, None],              # 17
+        jnp.zeros((mats.metallic_factor.shape[0], 2), jnp.float32),
+    ], axis=-1)
 
+
+def _vertex_inputs(scene: ScenePrimitives, info: RenderInfo,
+                   use_textures: bool):
+    """Per-vertex data shared by the fused and two-pass deferred paths:
+    (clip, winv, packed attrs (V, C), n_ch)."""
     world_pos, world_nrm, _ = transform_vertices(scene, info.model_transform)
     clip = m3.transform_points(world_pos, info.camera.view_proj)
-    # ALPHA_MODE_MASK tris are the tail of the index buffer: the opaque
-    # raster takes the static prefix, the tail goes through the K-layer
-    # alpha-test resolve below (oit.resolve_alpha_mask)
-    n_op = scene.indices.shape[0] - (
-        scene.mask_indices.shape[0] if scene.mask_indices is not None else 0)
-    vb, _stats = rz.rasterize(clip, scene.indices[:n_op],
-                              width=pad_w, height=pad_h, cfg=cfg,
-                              double_sided=scene.tri_double_sided[:n_op])
-
     winv = jnp.where(jnp.abs(clip[:, 3]) > 1e-12, 1.0 / clip[:, 3], 0.0)
-    if scene.mask_indices is not None:
-        from diligentfx_tpu.pbr.oit import resolve_alpha_mask
-        vb = resolve_alpha_mask(vb, clip, scene, winv,
-                                width=pad_w, height=pad_h, cfg=cfg,
-                                atlas=atlas, use_textures=use_textures)
-    gb = _shade_band(scene, info, ibl_maps, env_oct, vb, clip, winv,
-                     world_pos, world_nrm, jnp.int32(0),
-                     band_h=pad_h, pad_w=pad_w, pad_h=pad_h,
-                     use_ibl=use_ibl, use_lights=use_lights,
-                     shadow_mode=shadow_mode,
-                     pcf_kernel_size=pcf_kernel_size, atlas=atlas,
-                     use_textures=use_textures,
-                     enable_clearcoat=enable_clearcoat, fast_env=fast_env,
-                     light_shadow_kinds=light_shadow_kinds)
-    return jax.tree.map(lambda x: x[:height, :width], gb)
-
-
-def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
-                vb, clip, winv, world_pos, world_nrm, row0, *,
-                band_h: int, pad_w: int, pad_h: int,
-                use_ibl: bool, use_lights: bool, shadow_mode,
-                pcf_kernel_size: int, atlas, use_textures: bool,
-                enable_clearcoat: bool, fast_env: bool,
-                light_shadow_kinds: tuple) -> GBufferData:
-    """Deferred shading of rows [row0, row0 + band_h) of the visibility
-    buffer (row0 may be traced).  Shading is pixel-local, so very large
-    framebuffers can shade in bands compiled as ONE reusable program —
-    the monolithic 4K shading graph overwhelms the remote compiler
-    (render_gbuffer_banded below; PERF_NOTES.md).  Returns the PADDED band
-    (no viewport crop)."""
-    r0 = jnp.asarray(row0, jnp.int32)
-    if band_h != pad_h:
-        vb = rz.VisibilityBuffer(
-            depth=jax.lax.dynamic_slice(vb.depth, (r0, 0), (band_h, pad_w)),
-            tri_id=jax.lax.dynamic_slice(vb.tri_id, (r0, 0), (band_h, pad_w)),
-            bary=jax.lax.dynamic_slice(vb.bary, (r0, 0, 0),
-                                       (band_h, pad_w, 2)))
-    # previous-frame clip position for motion vectors (object + camera + skin)
     prev_world, _, _ = transform_vertices(scene, info.model_transform,
                                           previous=True)
     prev_vp = (info.prev_view_proj if info.prev_view_proj is not None
@@ -120,7 +85,6 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     prev_ndc = prev_clip[:, :2] / prev_w[:, None]
     prev_uv_v = jnp.stack([prev_ndc[:, 0] * 0.5 + 0.5,
                            0.5 - prev_ndc[:, 1] * 0.5], axis=-1)
-
     attrs_list = [world_pos, world_nrm, prev_uv_v]
     if use_textures:
         # transform tangents like normals (rigid/uniform assumption)
@@ -129,7 +93,154 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                                        precision=jax.lax.Precision.HIGHEST))
         attrs_list += [scene.uvs, tan3, scene.tangents[:, 3:4]]
     packed = jnp.concatenate(attrs_list, axis=-1)
-    interp = rz.interpolate_all(vb, scene.indices, packed, winv)
+    return clip, winv, packed, packed.shape[1]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "cfg", "use_ibl", "use_lights", "shadow_mode",
+    "pcf_kernel_size", "use_textures", "enable_clearcoat", "fast_env",
+    "light_shadow_kinds", "fuse", "emit_debug"))
+def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
+                   *, width: int, height: int, cfg: RasterizerConfig,
+                   use_ibl: bool = True, use_lights: bool = True,
+                   shadow_mode=None, pcf_kernel_size: int = 3,
+                   atlas=None, use_textures: bool = False,
+                   enable_clearcoat: bool = False,
+                   fast_env: bool = False,
+                   light_shadow_kinds: tuple = (),
+                   fuse: str = "auto",
+                   emit_debug: bool = False) -> GBufferData:
+    pad_w, pad_h = rz.pad_viewport(width, height, cfg)
+    # ALPHA_MODE_MASK tris are the tail of the index buffer: the opaque
+    # raster takes the static prefix, the tail goes through the K-layer
+    # alpha-test resolve below (oit.resolve_alpha_mask)
+    n_op = scene.indices.shape[0] - (
+        scene.mask_indices.shape[0] if scene.mask_indices is not None else 0)
+    if _fuse_ok(scene, fuse, use_textures):
+        vb, fused_px, clip, winv = _fused_raster(
+            scene, info, n_op, pad_w=pad_w, pad_h=pad_h, cfg=cfg,
+            use_textures=use_textures)
+    else:
+        clip, winv, packed, _ = _vertex_inputs(scene, info, use_textures)
+        vb, _stats = rz.rasterize(clip, scene.indices[:n_op],
+                                  width=pad_w, height=pad_h, cfg=cfg,
+                                  double_sided=scene.tri_double_sided[:n_op])
+        if scene.mask_indices is not None:
+            from diligentfx_tpu.pbr.oit import resolve_alpha_mask
+            vb = resolve_alpha_mask(vb, clip, scene, winv,
+                                    width=pad_w, height=pad_h, cfg=cfg,
+                                    atlas=atlas, use_textures=use_textures)
+        fused_px = None
+    gb = _shade_band(scene, info, ibl_maps, env_oct, vb, clip, winv,
+                     jnp.int32(0),
+                     band_h=pad_h, pad_w=pad_w, pad_h=pad_h,
+                     use_ibl=use_ibl, use_lights=use_lights,
+                     shadow_mode=shadow_mode,
+                     pcf_kernel_size=pcf_kernel_size, atlas=atlas,
+                     use_textures=use_textures,
+                     enable_clearcoat=enable_clearcoat, fast_env=fast_env,
+                     light_shadow_kinds=light_shadow_kinds,
+                     fused_px=fused_px, emit_debug=emit_debug)
+    return jax.tree.map(lambda x: x[:height, :width], gb)
+
+
+def _fuse_ok(scene: ScenePrimitives, fuse: str, use_textures: bool) -> bool:
+    """Whether the fused raster kernel can serve this scene: Pallas backend,
+    no alpha-mask tail (its resolve rewrites winners after raster), and
+    tangents available when anisotropy needs them (they ride the textured
+    attr packing)."""
+    if fuse == "off":
+        return False
+    if fuse == "on":
+        return True
+    return (jax.default_backend() == "tpu"
+            and scene.mask_indices is None
+            and (use_textures or scene.materials_anisotropy is None))
+
+
+def _fused_raster(scene: ScenePrimitives, info: RenderInfo, n_op: int, *,
+                  pad_w: int, pad_h: int, cfg: RasterizerConfig,
+                  use_textures: bool, screen_size=None,
+                  screen_offset=(0, 0)):
+    """Raster + in-kernel attribute interpolation + material fetch
+    (rasterize_fused).  Returns (vb, fused pixel channels, clip, winv)."""
+    clip, winv, packed, n_ch = _vertex_inputs(scene, info, use_textures)
+    tri_node = scene.vertex_node[scene.indices[:n_op, 0]]
+    consts = jnp.stack([scene.tri_material[:n_op].astype(jnp.float32),
+                        tri_node.astype(jnp.float32)], axis=-1)
+    mat_tableT = _material_table(scene.materials).T         # (20, M)
+    # uv channels are 8,9 in the textured packing (pos3+nrm3+prevuv2 first)
+    deriv = (8, 9) if use_textures else ()
+    vb, out, _stats = rz.rasterize_fused(
+        clip, scene.indices[:n_op], packed, winv, consts, mat_tableT,
+        width=pad_w, height=pad_h, cfg=cfg, n_ch=n_ch,
+        deriv_channels=deriv,
+        double_sided=scene.tri_double_sided[:n_op],
+        screen_size=screen_size, screen_offset=screen_offset)
+    return vb, out, clip, winv
+
+
+def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
+                vb, clip, winv, row0, *,
+                band_h: int, pad_w: int, pad_h: int,
+                use_ibl: bool, use_lights: bool, shadow_mode,
+                pcf_kernel_size: int, atlas, use_textures: bool,
+                enable_clearcoat: bool, fast_env: bool,
+                light_shadow_kinds: tuple,
+                fused_px: Optional[Array] = None,
+                emit_debug: bool = False,
+                vb_local: bool = False) -> GBufferData:
+    """Deferred shading of rows [row0, row0 + band_h) of the visibility
+    buffer (row0 may be traced).  Shading is pixel-local, so very large
+    framebuffers can shade in bands compiled as ONE reusable program —
+    the monolithic 4K shading graph overwhelms the remote compiler
+    (render_gbuffer_banded below; PERF_NOTES.md).  Returns the PADDED band
+    (no viewport crop).
+
+    fused_px: when the fused raster ran (_fused_raster), the per-pixel
+    [attrs, uv-derivs, mat/node id, material row] channels — all the
+    per-pixel gathers below are then skipped."""
+    r0 = jnp.asarray(row0, jnp.int32)
+    if band_h != pad_h and not vb_local:
+        vb = rz.VisibilityBuffer(
+            depth=jax.lax.dynamic_slice(vb.depth, (r0, 0), (band_h, pad_w)),
+            tri_id=jax.lax.dynamic_slice(vb.tri_id, (r0, 0), (band_h, pad_w)),
+            bary=jax.lax.dynamic_slice(vb.bary, (r0, 0, 0),
+                                       (band_h, pad_w, 2)))
+        if fused_px is not None:
+            fused_px = jax.lax.dynamic_slice(
+                fused_px, (r0, 0, 0), (band_h, pad_w, fused_px.shape[-1]))
+
+    n_ch = 14 if use_textures else 8
+    duv_dx = duv_dy = None
+    if fused_px is not None:
+        # the kernel evaluates planes for every pixel; mask misses like
+        # interpolate_all does (slot-0 garbage would leak into world_pos)
+        fused_px = jnp.where((vb.tri_id >= 0)[..., None], fused_px, 0.0)
+        interp = fused_px[..., :n_ch]
+        o = n_ch
+        if use_textures:
+            duv_dx = fused_px[..., o:o + 2]
+            duv_dy = fused_px[..., o + 2:o + 4]
+            o += 4
+        mat_id = fused_px[..., o].astype(jnp.int32)
+        node_id = fused_px[..., o + 1].astype(jnp.int32)
+        mrow = fused_px[..., o + 2:]       # the full material-table row
+    else:
+        _, _, packed, _ = _vertex_inputs(scene, info, use_textures)
+        interp = rz.interpolate_all(vb, scene.indices, packed, winv)
+        tid = jnp.maximum(vb.tri_id, 0)
+        # mesh-id AOV is the per-prim (node) id, NOT the material slot —
+        # picking must distinguish meshes sharing a material
+        # (HnReadRprimIdTask.cpp).  Pack node<<16|material so both ride ONE
+        # per-pixel gather (the TPU cost unit, PERF_NOTES.md).
+        tri_node = scene.vertex_node[scene.indices[:, 0]]
+        tri_packed = (tri_node << 16) | scene.tri_material
+        packed_px = tri_packed[tid]
+        mat_id = packed_px & 0xFFFF
+        node_id = packed_px >> 16
+        mrow = _material_table(scene.materials)[mat_id]   # (H, W, 20)
+
     pos_px = interp[..., 0:3]
     nrm_px = m3.normalize(interp[..., 3:6])
     prev_uv_px = interp[..., 6:8]
@@ -145,26 +256,6 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     cur_uv = jnp.stack([xg, yg], axis=-1)
     motion = jnp.where(hit[..., None], cur_uv - prev_uv_px, 0.0)
 
-    tid = jnp.maximum(vb.tri_id, 0)
-    mat_id = scene.tri_material[tid]
-    mats = scene.materials
-    # one aligned (M, 16) material table → ONE per-pixel row gather instead
-    # of one gather per field (gathers are the TPU cost unit, PERF_NOTES.md)
-    mat_table = jnp.concatenate([
-        mats.base_color_factor,                       # 0:4
-        mats.emissive_factor,                         # 4:7
-        mats.metallic_factor[:, None],                # 7
-        mats.roughness_factor[:, None],               # 8
-        mats.normal_scale[:, None],                   # 9
-        mats.occlusion_factor[:, None],               # 10
-        mats.workflow[:, None].astype(jnp.float32),   # 11
-        mats.clearcoat_factor[:, None],               # 12
-        mats.clearcoat_roughness_factor[:, None],     # 13
-        mats.specular_factor,                         # 14:17 (spec-gloss)
-        mats.alpha_mask_cutoff[:, None],              # 17
-        jnp.zeros((mats.metallic_factor.shape[0], 2), jnp.float32),
-    ], axis=-1)
-    mrow = mat_table[mat_id]                          # (H, W, 16)
     base_color = mrow[..., 0:3]
     emissive = mrow[..., 4:7]
     metallic = mrow[..., 7:8]
@@ -177,9 +268,10 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         # slots resolve to neutral values via the -1 mask.
         from diligentfx_tpu.ops.texture import apply_uv_transform, sample_atlas
         from diligentfx_tpu.ops.raster import bary_setup_from_clip
-        setup_b = bary_setup_from_clip(clip, scene.indices, pad_w, pad_h)
-        _, duv_dx, duv_dy = rz.interpolate_with_derivs(
-            vb, scene.indices, scene.uvs, setup_b, winv)
+        if duv_dx is None:
+            setup_b = bary_setup_from_clip(clip, scene.indices, pad_w, pad_h)
+            _, duv_dx, duv_dy = rz.interpolate_with_derivs(
+                vb, scene.indices, scene.uvs, setup_b, winv)
         atlas_res = atlas.mips[0].shape[1]
 
         def slot_sample(slot):
@@ -426,10 +518,52 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     def crop(x):
         return x
 
+    debug = None
+    if emit_debug:
+        # per-pixel products for the full DebugViewType table
+        # (PBR_Renderer.hpp:401-439, RenderPBR.psh:574-613); absent
+        # extensions render as zeros, matching a shader compiled without them
+        z1 = jnp.zeros_like(ndotv)
+        z3 = jnp.zeros_like(base_color)
+        debug = dict(
+            texcoord0=(uv_px if use_textures else jnp.zeros_like(motion)),
+            transparency=mrow[..., 3:4],
+            emissive=emissive,
+            diffuse_color=srf.diffuse_color,
+            specular_color=srf.reflectance0,
+            reflectance90=srf.reflectance90,
+            ndotv=ndotv,
+            clearcoat_factor=(clearcoat.factor if clearcoat is not None else z1),
+            clearcoat_roughness=(clearcoat.srf.perceptual_roughness
+                                 if clearcoat is not None else z1),
+            clearcoat_normal=(clearcoat.normal if clearcoat is not None else z3),
+            clearcoat_lit=(lighting.clearcoat.punctual
+                           if clearcoat is not None
+                           and lighting.clearcoat is not None else z3),
+            sheen_color=(sheen.color if sheen is not None else z3),
+            sheen_roughness=(sheen.roughness if sheen is not None else z1),
+            sheen_lit=(lighting.sheen.punctual
+                       if sheen is not None and lighting.sheen is not None
+                       else z3),
+            anisotropy_strength=(anisotropy.strength
+                                 if anisotropy is not None else z1),
+            anisotropy_direction=(anisotropy.tangent
+                                  if anisotropy is not None else z3),
+            iridescence_fresnel=(iridescence.fresnel
+                                 if iridescence is not None else z3),
+            iridescence_factor=(iridescence.factor
+                                if iridescence is not None else z1),
+            iridescence_thickness=(iridescence.thickness
+                                   if iridescence is not None else z1),
+            transmission=(transmission if transmission is not None else z1),
+            thickness=(volume_thickness if volume_thickness is not None else z1),
+        )
+
     depth = jnp.where(hit, vb.depth, 1.0)
     return GBufferData(
+        debug=debug,
         depth=crop(depth),
-        mesh_id=crop(jnp.where(hit, mat_id, -1)),
+        mesh_id=crop(jnp.where(hit, node_id, -1)),
         normal_world=crop(jnp.where(hit[..., None], nrm_px, 0.0)),
         normal_view=crop(jnp.where(hit[..., None], nrm_view, 0.0)),
         base_color=crop(jnp.where(hit[..., None], base_color, 0.0)),
@@ -448,32 +582,35 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
 
 
 @functools.partial(jax.jit, static_argnames=("pad_w", "pad_h", "cfg",
-                                             "use_textures"))
+                                             "use_textures", "fuse"))
 def _raster_stage(scene: ScenePrimitives, info: RenderInfo, atlas, *,
                   pad_w: int, pad_h: int, cfg: RasterizerConfig,
-                  use_textures: bool):
+                  use_textures: bool, fuse: str = "auto"):
     """Vertex transform + visibility raster + alpha-mask resolve, compiled
     standalone (it compiles fine at 4K; the fused shading graph doesn't)."""
-    world_pos, world_nrm, _ = transform_vertices(scene, info.model_transform)
-    clip = m3.transform_points(world_pos, info.camera.view_proj)
     n_op = scene.indices.shape[0] - (
         scene.mask_indices.shape[0] if scene.mask_indices is not None else 0)
+    if _fuse_ok(scene, fuse, use_textures):
+        vb, fused_px, clip, winv = _fused_raster(
+            scene, info, n_op, pad_w=pad_w, pad_h=pad_h, cfg=cfg,
+            use_textures=use_textures)
+        return vb, clip, winv, fused_px
+    clip, winv, _, _ = _vertex_inputs(scene, info, use_textures)
     vb, _stats = rz.rasterize(clip, scene.indices[:n_op],
                               width=pad_w, height=pad_h, cfg=cfg,
                               double_sided=scene.tri_double_sided[:n_op])
-    winv = jnp.where(jnp.abs(clip[:, 3]) > 1e-12, 1.0 / clip[:, 3], 0.0)
     if scene.mask_indices is not None:
         from diligentfx_tpu.pbr.oit import resolve_alpha_mask
         vb = resolve_alpha_mask(vb, clip, scene, winv,
                                 width=pad_w, height=pad_h, cfg=cfg,
                                 atlas=atlas, use_textures=use_textures)
-    return vb, clip, winv, world_pos, world_nrm
+    return vb, clip, winv, None
 
 
 _shade_band_jit = functools.partial(jax.jit, static_argnames=(
     "band_h", "pad_w", "pad_h", "use_ibl", "use_lights", "shadow_mode",
     "pcf_kernel_size", "use_textures", "enable_clearcoat", "fast_env",
-    "light_shadow_kinds"))(_shade_band)
+    "light_shadow_kinds", "emit_debug"))(_shade_band)
 
 
 def render_gbuffer_banded(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
@@ -494,19 +631,64 @@ def render_gbuffer_banded(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
     while pad_h % bands:
         bands -= 1
     band_h = pad_h // bands
-    vb, clip, winv, world_pos, world_nrm = _raster_stage(
+    vb, clip, winv, fused_px = _raster_stage(
         scene, info, atlas, pad_w=pad_w, pad_h=pad_h, cfg=cfg,
         use_textures=use_textures)
     parts = [
         _shade_band_jit(scene, info, ibl_maps, env_oct, vb, clip, winv,
-                        world_pos, world_nrm, jnp.int32(b * band_h),
+                        jnp.int32(b * band_h),
                         band_h=band_h, pad_w=pad_w, pad_h=pad_h,
                         use_ibl=use_ibl, use_lights=use_lights,
                         shadow_mode=shadow_mode,
                         pcf_kernel_size=pcf_kernel_size, atlas=atlas,
                         use_textures=use_textures,
                         enable_clearcoat=enable_clearcoat, fast_env=fast_env,
-                        light_shadow_kinds=light_shadow_kinds)
+                        light_shadow_kinds=light_shadow_kinds,
+                        fused_px=fused_px)
         for b in range(bands)]
     gb = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
     return jax.tree.map(lambda x: x[:height, :width], gb)
+
+
+def render_gbuffer_band_sp(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
+                           env_oct, *, width: int, band_h: int,
+                           full_height: int, band_y0, cfg: RasterizerConfig,
+                           use_ibl: bool = True, use_lights: bool = True,
+                           shadow_mode=None, pcf_kernel_size: int = 3,
+                           atlas=None, use_textures: bool = False,
+                           enable_clearcoat: bool = False,
+                           fast_env: bool = False,
+                           light_shadow_kinds: tuple = (),
+                           fuse: str = "auto") -> GBufferData:
+    """One sp-band of the deferred G-buffer: raster the band's viewport
+    window (rows [band_y0, band_y0 + band_h) of a full_height frame) and
+    shade it band-locally — the building block of the multi-chip deferred
+    pipeline (parallel/tiling.render_frame_banded; SURVEY.md §5.7: the pixel
+    grid is the renderer's long dimension).  band_y0 may be traced
+    (jax.lax.axis_index inside shard_map)."""
+    assert width % cfg.tile_w == 0 and band_h % cfg.tile_h == 0
+    n_op = scene.indices.shape[0] - (
+        scene.mask_indices.shape[0] if scene.mask_indices is not None else 0)
+    y0 = jnp.asarray(band_y0, jnp.int32)
+    if _fuse_ok(scene, fuse, use_textures):
+        vb, fused_px, clip, winv = _fused_raster(
+            scene, info, n_op, pad_w=width, pad_h=band_h, cfg=cfg,
+            use_textures=use_textures,
+            screen_size=(width, full_height), screen_offset=(0, y0))
+    else:
+        clip, winv, packed, _ = _vertex_inputs(scene, info, use_textures)
+        vb, _stats = rz.rasterize(clip, scene.indices[:n_op],
+                                  width=width, height=band_h, cfg=cfg,
+                                  double_sided=scene.tri_double_sided[:n_op],
+                                  screen_size=(width, full_height),
+                                  screen_offset=(0, y0))
+        fused_px = None
+    return _shade_band(scene, info, ibl_maps, env_oct, vb, clip, winv, y0,
+                       band_h=band_h, pad_w=width, pad_h=full_height,
+                       use_ibl=use_ibl, use_lights=use_lights,
+                       shadow_mode=shadow_mode,
+                       pcf_kernel_size=pcf_kernel_size, atlas=atlas,
+                       use_textures=use_textures,
+                       enable_clearcoat=enable_clearcoat, fast_env=fast_env,
+                       light_shadow_kinds=light_shadow_kinds,
+                       fused_px=fused_px, vb_local=True)

@@ -8,8 +8,10 @@ transparent triangles rasterize into a **K-layer visibility buffer** — the
 per-tile scan keeps the K nearest fragments per pixel via an unrolled
 insertion network (a fixed-K sorting network, SURVEY.md §7 step 8).  Each
 layer is then shaded like the opaque path and composited front-to-back; the
-reference's RGBA8 "tail" average of overflow layers corresponds to fragments
-dropped past K (counted per pixel for diagnostics).
+reference's RGBA8 "tail" average of overflow layers (OIT.fxh:1-26) maps to a
+per-pixel accumulated tail opacity (fragments dropped past K attenuate and
+tint via the mean shaded layer color in composite_klayers) plus an overflow
+count for diagnostics.
 """
 from __future__ import annotations
 
@@ -32,10 +34,14 @@ class KLayerBuffer(NamedTuple):
     tri_id: Array    # (K, H, W) int32, -1 empty
     bary: Array      # (K, H, W, 2)
     overflow: Array  # (H, W) int32 — fragments dropped past K (the "tail")
+    # accumulated opacity of the dropped fragments: 1 - prod(1 - a_i) over
+    # the tail (the OIT.fxh tail average's attenuation term)
+    tail_alpha: Optional[Array] = None
 
 
 def _klayer_raster_tiles(setup, candidates, width, height,
-                         cfg: RasterizerConfig, num_layers: int):
+                         cfg: RasterizerConfig, num_layers: int,
+                         tri_alpha=None):
     tiles_x = width // cfg.tile_w
     tiles_y = height // cfg.tile_h
     num_tiles = tiles_x * tiles_y
@@ -58,9 +64,11 @@ def _klayer_raster_tiles(setup, candidates, width, height,
     k = num_layers
 
     def step(state, cand_k):
-        zs, ids, b0s, b1s, ovf = state
+        zs, ids, b0s, b1s, ovf, ttrans = state
         live = cand_k >= 0
         s = setup[jnp.maximum(cand_k, 0)]                    # (tiles, K, 16)
+        if tri_alpha is not None:
+            alpha_k = tri_alpha[jnp.maximum(cand_k, 0)]      # (tiles, K)
 
         def plane(ai, bi, ci):
             return (s[..., ai, None, None] * px[:, None]
@@ -82,6 +90,8 @@ def _klayer_raster_tiles(setup, candidates, width, height,
             cid = jnp.where(cover[:, c], orig_ids[:, c, None, None], -1)
             cb0 = lo0[:, c]
             cb1 = lo1[:, c]
+            ca = (alpha_k[:, c, None, None] * jnp.ones_like(cb0)
+                  if tri_alpha is not None else jnp.zeros_like(cb0))
             for slot in range(k):
                 closer = cz < zs[slot]
                 nz = jnp.where(closer, cz, zs[slot])
@@ -96,9 +106,13 @@ def _klayer_raster_tiles(setup, candidates, width, height,
                 ids = [*ids[:slot], nid, *ids[slot + 1:]]
                 b0s = [*b0s[:slot], nb0, *b0s[slot + 1:]]
                 b1s = [*b1s[:slot], nb1, *b1s[slot + 1:]]
-            # whatever is left in the candidate after K swaps overflowed
-            ovf = ovf + (jnp.isfinite(cz) & (cid >= 0)).astype(jnp.int32)
-        return (zs, ids, b0s, b1s, ovf), None
+            # whatever is left in the candidate after K swaps overflowed:
+            # count it, and accumulate its opacity into the tail
+            dropped = jnp.isfinite(cz) & (cid >= 0)
+            ovf = ovf + dropped.astype(jnp.int32)
+            if tri_alpha is not None:
+                ttrans = ttrans * jnp.where(dropped, 1.0 - ca, 1.0)
+        return (zs, ids, b0s, b1s, ovf, ttrans), None
 
     init = (
         [jnp.full((num_tiles, th, tw), jnp.inf, jnp.float32) for _ in range(k)],
@@ -106,9 +120,10 @@ def _klayer_raster_tiles(setup, candidates, width, height,
         [jnp.zeros((num_tiles, th, tw), jnp.float32) for _ in range(k)],
         [jnp.zeros((num_tiles, th, tw), jnp.float32) for _ in range(k)],
         jnp.zeros((num_tiles, th, tw), jnp.int32),
+        jnp.ones((num_tiles, th, tw), jnp.float32),
     )
     cand_steps = candidates.reshape(num_tiles, n_steps, chunk).transpose(1, 0, 2)
-    (zs, ids, b0s, b1s, ovf), _ = jax.lax.scan(step, init, cand_steps)
+    (zs, ids, b0s, b1s, ovf, ttrans), _ = jax.lax.scan(step, init, cand_steps)
 
     def untile(x):
         c = x.reshape(tiles_y, tiles_x, th, tw).transpose(0, 2, 1, 3)
@@ -120,6 +135,7 @@ def _klayer_raster_tiles(setup, candidates, width, height,
         bary=jnp.stack([jnp.stack([untile(a), untile(b)], axis=-1)
                         for a, b in zip(b0s, b1s)]),
         overflow=untile(ovf),
+        tail_alpha=(1.0 - untile(ttrans)) if tri_alpha is not None else None,
     )
 
 
@@ -127,15 +143,21 @@ def _klayer_raster_tiles(setup, candidates, width, height,
                                              "num_layers"))
 def rasterize_klayers(clip: Array, indices: Array, *, width: int, height: int,
                       cfg: RasterizerConfig = RasterizerConfig(),
-                      num_layers: int = 4) -> KLayerBuffer:
+                      num_layers: int = 4,
+                      tri_alpha: Optional[Array] = None) -> KLayerBuffer:
     """Rasterize (transparent) triangles keeping the K nearest fragments per
-    pixel (UpdateOITLayers analogue; transparent geometry is double-sided)."""
+    pixel (UpdateOITLayers analogue; transparent geometry is double-sided).
+
+    tri_alpha: optional (T,) per-triangle opacity — enables the OIT.fxh tail:
+    fragments dropped past K accumulate 1-prod(1-a) into KLayerBuffer.tail_alpha."""
     setup, valid, bbox, _ = rz._triangle_setup(
         clip, indices, width, height,
         jnp.ones((indices.shape[0],), bool), True, 1e-3)
     candidates, _compact, _counts, *_ = rz._bin_triangles(
         valid, bbox, width, height, cfg)
-    return _klayer_raster_tiles(setup, candidates, width, height, cfg, num_layers)
+    ta2 = jnp.tile(tri_alpha, 2) if tri_alpha is not None else None
+    return _klayer_raster_tiles(setup, candidates, width, height, cfg,
+                                num_layers, tri_alpha=ta2)
 
 
 def resolve_alpha_mask(vb, clip: Array, scene, winv: Array, *,
@@ -256,10 +278,27 @@ def composite_klayers(opaque_color: Array, opaque_depth: Array,
     k = layers.depth.shape[0]
     out = jnp.zeros_like(opaque_color)
     transmittance = jnp.ones_like(layer_alphas[0])
+    csum = jnp.zeros_like(opaque_color)
+    asum = jnp.zeros_like(layer_alphas[0])
     for i in range(k):
         valid = ((layers.tri_id[i] >= 0)
                  & (layers.depth[i] <= opaque_depth))[..., None]
         a = jnp.where(valid, layer_alphas[i], 0.0)
         out = out + transmittance * a * layer_colors[i]
         transmittance = transmittance * (1.0 - a)
+        csum = csum + a * layer_colors[i]
+        asum = asum + a
+    # OIT.fxh tail semantics: fragments past K attenuate what is behind and
+    # add radiance approximated by the alpha-weighted mean of the kept
+    # layers' shaded colors (the reference averages the tail's own colors
+    # into an RGBA8 target; a visibility buffer has no shaded tail colors,
+    # so the kept-layer mean stands in — exact when the tail shades like
+    # its neighbors).
+    if layers.tail_alpha is not None:
+        tail_color = csum / jnp.maximum(asum, 1e-6)
+        ta = layers.tail_alpha[..., None]
+        any_kept = asum > 1e-6
+        ta = jnp.where(any_kept, ta, 0.0)
+        out = out + transmittance * ta * tail_color
+        transmittance = transmittance * (1.0 - ta)
     return out + transmittance * opaque_color

@@ -194,3 +194,55 @@ def apply_jitter_to_proj(proj: Array, jitter_ndc) -> Array:
     P[2,3] = -1 is nonzero in column 3."""
     j = jnp.asarray(jitter_ndc, jnp.float32)
     return proj.at[2, 0].add(-j[0]).at[2, 1].add(-j[1])
+
+
+def reprojected_depth(depth: Array, camera: CameraAttribs,
+                      prev_view_proj: Array) -> Array:
+    """The ComputeReprojectedDepth technique (PostFXContext.hpp:178-188):
+    the NDC depth each CURRENT surface point had in the PREVIOUS frame —
+    reconstruct world position from the depth buffer, push it through the
+    previous view-projection.  Pure per-pixel math, zero gathers."""
+    h, w = depth.shape
+    x_ndc = ((jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w) * 2 - 1
+    y_ndc = 1 - ((jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h) * 2
+    ndc = jnp.stack([x_ndc, y_ndc, depth, jnp.ones_like(depth)], axis=-1)
+    world = ndc @ camera.view_proj_inv                        # row-vector
+    world = world / jnp.where(jnp.abs(world[..., 3:4]) < 1e-12, 1e-12,
+                              world[..., 3:4])
+    prev_clip = world @ jnp.asarray(prev_view_proj, jnp.float32)
+    return prev_clip[..., 2] / jnp.maximum(prev_clip[..., 3], 1e-6)
+
+
+def disocclusion_mask(depth: Array, prev_depth: Array, motion: Array,
+                      camera: CameraAttribs, prev_view_proj: Array, *,
+                      relative_tolerance: float = 0.05,
+                      use_pallas: bool = False) -> Array:
+    """True where the history tap at (uv - motion) does NOT see the same
+    surface: the previous-frame depth buffer, sampled at the reprojected
+    location, disagrees with the depth this surface should have had there
+    (revealed background, object motion).  This is what the reference keeps
+    prev-depth + reprojected-depth around for (PostFXContext.hpp:178-188);
+    SSR/SSAO/TAA history must be rejected on these pixels."""
+    h, w = depth.shape
+    zexp = reprojected_depth(depth, camera, prev_view_proj)   # expected prev z
+    x = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
+    y = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
+    prev_uv = jnp.stack([x, y], axis=-1) - motion
+    if use_pallas:
+        from diligentfx_tpu.ops.warp_pallas import TILE_H, TILE_W, warp_bilinear_pallas
+        pad_h = (-h) % TILE_H
+        pad_w = (-w) % TILE_W
+        dpad = jnp.pad(prev_depth, ((0, pad_h), (0, pad_w)), mode="edge")
+        off = -motion * jnp.array([w, h], jnp.float32)
+        off = jnp.pad(off, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+        zprev = warp_bilinear_pallas(dpad, off, halo_r=16, halo_c=64)[:h, :w]
+    else:
+        from diligentfx_tpu.ops.sampling import bilinear_sample
+        zprev = bilinear_sample(prev_depth[..., None], prev_uv)[..., 0]
+    # compare in linear view distance (NDC depth is wildly non-uniform)
+    le = depth_to_camera_z(zexp, camera)
+    lp = depth_to_camera_z(zprev, camera)
+    mismatch = jnp.abs(le - lp) > relative_tolerance * jnp.minimum(le, lp)
+    oob = ((prev_uv[..., 0] < 0) | (prev_uv[..., 0] > 1)
+           | (prev_uv[..., 1] < 0) | (prev_uv[..., 1] > 1))
+    return mismatch | oob

@@ -1,11 +1,18 @@
 """Depth of field — the analogue of PostProcess/DepthOfField (Catlike-Coding
 based, README:115; passes at interface:130-141: CoC, temporal CoC, separated
-near/far CoC, dilation, CoC blur, prefilter, two bokeh passes, postfilter,
-combine).
+near/far CoC, dilation, CoC blur X/Y, prefilter, two bokeh passes,
+postfilter, combine).
 
-Implementation: signed circle-of-confusion from a thin-lens model, half-res
-prefilter weighted by CoC, golden-spiral disk bokeh gather scaled per-pixel,
-near-field dilation via max-pooled CoC, tent postfilter, CoC-blended combine.
+Implementation: signed circle-of-confusion from a thin-lens model; the
+near/far fields are SEPARATED (DepthOfField.hpp:132 SeparatedCoC): the far
+field only gathers samples whose own far-CoC reaches the pixel (background
+blur cannot grab foreground color), while the near field gathers through the
+dilated+blurred near-CoC (foreground blur bleeds OVER sharp backgrounds).
+Near-CoC dilation is max-pooled then smoothed by a separable Gaussian (the
+CoC blur X/Y passes); bokeh runs as one disk-gather pass producing both
+fields from the same taps, followed by a gather-free fixed-ring second bokeh
+pass (the reference's Bokeh2 density fill), a tent postfilter, and a
+two-stage combine (far lerp, then near lerp on top).
 """
 from __future__ import annotations
 
@@ -59,6 +66,22 @@ def dilate_near_coc(coc: Array, radius: int = 4) -> Array:
     return d
 
 
+def blur_coc_xy(coc: Array, radius: int = 3, sigma: float = 1.5) -> Array:
+    """Separable Gaussian over the (dilated) near-CoC field — the reference's
+    CoC blur X / CoC blur Y passes (DepthOfField.hpp:134-135): smooths the
+    blocky max-pool so the near-field blend has no dilation staircases."""
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / jnp.sum(k)
+    out = coc
+    for axis in (0, 1):
+        acc = jnp.zeros_like(out)
+        for j in range(2 * radius + 1):
+            acc = acc + jnp.roll(out, j - radius, axis=axis) * k[j]
+        out = acc
+    return out
+
+
 def _disk_kernel(n: int):
     """Golden-spiral unit disk points."""
     ga = math.pi * (3.0 - math.sqrt(5.0))
@@ -70,31 +93,41 @@ def _disk_kernel(n: int):
     return jnp.asarray(pts, jnp.float32)
 
 
-def bokeh_blur(color: Array, coc: Array, near_coc: Array, s: DoFSettings,
-               kernel_size: int = 24, use_pallas: bool = False) -> Array:
-    """Disk-gather bokeh (the two bokeh passes): each tap weighted by whether
-    the sample's CoC reaches the center pixel.  kernel_size is static.
+def bokeh_blur_separated(color: Array, coc: Array, near_coc: Array,
+                         s: DoFSettings, kernel_size: int = 24,
+                         use_pallas: bool = False) -> Tuple[Array, Array]:
+    """Disk-gather bokeh producing the SEPARATED far and near fields from
+    one set of taps (the reference's Bokeh pass over the separated CoC
+    texture, DepthOfField.hpp:132,137):
 
-    use_pallas routes each tap through the gather-free windowed-warp kernel
-    (color + reach packed as one 4-channel warp; CoC radii are bounded, so
-    the kernel halo always covers the disk)."""
+      far:  a tap contributes iff the sample's own FAR CoC reaches the
+            center (far blur never pulls in-focus/foreground color),
+      near: a tap contributes iff the dilated NEAR CoC at the sample
+            reaches the center (foreground bleeds over anything).
+
+    use_pallas routes taps through the gather-free windowed-warp kernel
+    (color + both reach fields packed as one 5-channel warp)."""
     h, w = color.shape[:2]
     taps = _disk_kernel(kernel_size)
     xg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5)
     yg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5)
-    radius_px = jnp.maximum(jnp.abs(coc), near_coc) * s.max_coc_px
+    far_reach_img = jnp.maximum(coc, 0.0) * s.max_coc_px
+    near_reach_img = near_coc * s.max_coc_px
+    radius_px = jnp.maximum(far_reach_img, near_reach_img)
 
     if use_pallas:
         from diligentfx_tpu.ops.warp_pallas import TILE_H, TILE_W, warp_bilinear_pallas
-        reach_img = (jnp.maximum(jnp.abs(coc), near_coc) * s.max_coc_px)[..., None]
-        packed = jnp.concatenate([color, reach_img], axis=-1)
+        packed = jnp.concatenate([color, far_reach_img[..., None],
+                                  near_reach_img[..., None]], axis=-1)
         pad_h = (-h) % TILE_H
         pad_w = (-w) % TILE_W
         if pad_h or pad_w:
             packed = jnp.pad(packed, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
 
-    acc = color
-    wacc = jnp.ones((h, w, 1), jnp.float32)
+    facc = color
+    fwacc = jnp.ones((h, w, 1), jnp.float32)
+    nacc = color
+    nwacc = jnp.ones((h, w, 1), jnp.float32)
     for i in range(taps.shape[0]):
         ox = taps[i, 0] * radius_px
         oy = taps[i, 1] * radius_px
@@ -106,16 +139,33 @@ def bokeh_blur(color: Array, coc: Array, near_coc: Array, s: DoFSettings,
             sampled = warp_bilinear_pallas(packed, off, halo_r=16, halo_c=64)
             sampled = sampled[:h, :w]
             c = sampled[..., :3]
-            reach = sampled[..., 3]
+            far_reach = sampled[..., 3]
+            near_reach = sampled[..., 4]
         else:
             uv = jnp.stack([(xg + ox) / w, (yg + oy) / h], axis=-1)
             c = bilinear_sample(color, uv)
-            sample_coc = bilinear_sample(jnp.abs(coc)[..., None], uv)[..., 0]
-            sample_near = bilinear_sample(near_coc[..., None], uv)[..., 0]
-            reach = jnp.maximum(sample_coc, sample_near) * s.max_coc_px
-        wgt = jnp.clip((reach - tap_r) * 0.5 + 0.5, 0.0, 1.0)[..., None]
-        acc = acc + c * wgt
-        wacc = wacc + wgt
+            far_reach = bilinear_sample(far_reach_img[..., None], uv)[..., 0]
+            near_reach = bilinear_sample(near_reach_img[..., None], uv)[..., 0]
+        fw = jnp.clip((far_reach - tap_r) * 0.5 + 0.5, 0.0, 1.0)[..., None]
+        nw = jnp.clip((near_reach - tap_r) * 0.5 + 0.5, 0.0, 1.0)[..., None]
+        facc = facc + c * fw
+        fwacc = fwacc + fw
+        nacc = nacc + c * nw
+        nwacc = nwacc + nw
+    return facc / fwacc, nacc / nwacc
+
+
+def bokeh_fill(img: Array, radius_px: Array, s: DoFSettings) -> Array:
+    """Second bokeh pass (Bokeh2, DepthOfField.hpp:138): a fixed small ring
+    over the first pass's output fills undersampling gaps.  Fixed offsets →
+    pure rolls, zero gathers; per-pixel weights keep in-focus pixels sharp."""
+    offsets = [(2, 0), (-2, 0), (0, 2), (0, -2), (1, 1), (-1, 1), (1, -1), (-1, -1)]
+    amt = jnp.clip(radius_px / 4.0, 0.0, 1.0)[..., None]
+    acc = img
+    wacc = jnp.ones_like(img[..., :1])
+    for dy, dx in offsets:
+        acc = acc + jnp.roll(img, (dy, dx), axis=(0, 1)) * amt
+        wacc = wacc + amt
     return acc / wacc
 
 
@@ -140,7 +190,10 @@ def apply_dof(color: Array, depth: Array, camera: CameraAttribs,
               use_temporal: bool = False,
               bokeh_kernel_size: int = 24,
               use_pallas: bool = False) -> Tuple[Array, DoFState]:
-    """Full DoF chain (DepthOfField::Execute)."""
+    """Full DoF chain (DepthOfField::Execute, interface:130-141):
+    CoC → temporal CoC → separated near/far → near dilation → CoC blur X/Y →
+    half-res prefilter → bokeh (both fields) → bokeh2 → tent postfilter →
+    far-then-near combine."""
     h, w = depth.shape
     coc = circle_of_confusion(depth, camera, settings)
 
@@ -151,17 +204,28 @@ def apply_dof(color: Array, depth: Array, camera: CameraAttribs,
         hist = bilinear_sample(state.coc_history[..., None], prev_uv)[..., 0]
         coc = hist + (coc - hist) * (1.0 - settings.temporal_stability_factor)
 
-    # half-res field
+    # half-res prefilter
     c2 = 0.25 * (color[0::2, 0::2] + color[1::2, 0::2]
                  + color[0::2, 1::2] + color[1::2, 1::2])
     coc2 = coc[0::2, 0::2]
-    near2 = dilate_near_coc(coc2, radius=3)
-    blurred = bokeh_blur(c2, coc2, near2, settings, bokeh_kernel_size,
-                         use_pallas=use_pallas)
-    blurred = tent_3x3(blurred)
-    blurred_full = jax.image.resize(blurred, (h, w, 3), method="bilinear")
-    near_full = jax.image.resize(near2, (h, w), method="bilinear")
+    # separated near CoC: dilate then blur X/Y
+    near2 = blur_coc_xy(dilate_near_coc(coc2, radius=3))
+    far_blur, near_blur = bokeh_blur_separated(
+        c2, coc2, near2, settings, bokeh_kernel_size, use_pallas=use_pallas)
+    radius2 = jnp.maximum(jnp.maximum(coc2, 0.0), near2) * settings.max_coc_px
+    far_blur = bokeh_fill(far_blur, jnp.maximum(coc2, 0.0) * settings.max_coc_px,
+                          settings)
+    near_blur = bokeh_fill(near_blur, near2 * settings.max_coc_px, settings)
+    del radius2
+    far_blur = tent_3x3(far_blur)
+    near_blur = tent_3x3(near_blur)
+    far_full = jax.image.resize(far_blur, (h, w, 3), method="bilinear")
+    near_full = jax.image.resize(near_blur, (h, w, 3), method="bilinear")
+    near_coc_full = jax.image.resize(near2, (h, w), method="bilinear")
 
-    blend = jnp.clip(jnp.maximum(jnp.abs(coc), near_full) * 2.0, 0.0, 1.0)[..., None]
-    out = color + (blurred_full - color) * blend
+    # combine: far field under, near field OVER (bleeds across sharp edges)
+    far_blend = jnp.clip(jnp.maximum(coc, 0.0) * 2.0, 0.0, 1.0)[..., None]
+    out = color + (far_full - color) * far_blend
+    near_blend = jnp.clip(near_coc_full * 2.0, 0.0, 1.0)[..., None]
+    out = out + (near_full - out) * near_blend
     return out, DoFState(coc_history=coc)

@@ -264,22 +264,44 @@ def _inscatter_march(lut, origins, directions, lengths, sun_dir, s: EpipolarSett
 
 
 def _epipolar_grid(light_uv: Array, num_slices: int, num_samples: int):
-    """Slice endpoints on the screen border + sample uv grid
-    (slices, samples, 2) — the GenerateSliceEndpoints / coordinate texture."""
+    """Slice entry/exit points on the screen rect + sample uv grid
+    (slices, samples, 2) — GenerateSliceEndpoints / the coordinate texture
+    (EpipolarLightScattering.cpp:2393-2700 slice handling).
+
+    Works for an OFF-SCREEN light: each slice ray from light_uv is slab-
+    clipped against [0,1]² and samples span only the on-screen chord
+    (entry→exit), so no sample budget is wasted outside the viewport; with
+    the light on screen the entry degenerates to light_uv itself."""
     a = (jnp.arange(num_slices) + 0.5) / num_slices * 2.0 * PI
     d = jnp.stack([jnp.cos(a), jnp.sin(a)], axis=-1)       # (S, 2)
-    # exit parameter to the [0,1]² border from light_uv along d
     eps = 1e-6
-    tx = jnp.where(d[:, 0] > 0, (1.0 - light_uv[0]) / jnp.maximum(d[:, 0], eps),
-                   jnp.where(d[:, 0] < 0, (0.0 - light_uv[0]) / jnp.minimum(d[:, 0], -eps),
-                             jnp.inf))
-    ty = jnp.where(d[:, 1] > 0, (1.0 - light_uv[1]) / jnp.maximum(d[:, 1], eps),
-                   jnp.where(d[:, 1] < 0, (0.0 - light_uv[1]) / jnp.minimum(d[:, 1], -eps),
-                             jnp.inf))
-    t_end = jnp.minimum(tx, ty)
-    ends = light_uv[None, :] + d * t_end[:, None]          # (S, 2)
+    big = 1e9
+
+    def slab(p, dx):
+        safe = jnp.where(jnp.abs(dx) < eps, eps, dx)
+        t0 = (0.0 - p) / safe
+        t1 = (1.0 - p) / safe
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1)
+        # degenerate axis: inside the slab → full range, outside → empty
+        inside = (p >= 0.0) & (p <= 1.0)
+        lo = jnp.where(jnp.abs(dx) < eps, jnp.where(inside, -big, big), lo)
+        hi = jnp.where(jnp.abs(dx) < eps, jnp.where(inside, big, -big), hi)
+        return lo, hi
+
+    lx, hx = slab(light_uv[0], d[:, 0])
+    ly, hy = slab(light_uv[1], d[:, 1])
+    t_in = jnp.maximum(jnp.maximum(lx, ly), 0.0)
+    t_out = jnp.minimum(hx, hy)
+    valid = t_out > t_in                                   # slice crosses screen
+    t_out = jnp.maximum(t_out, t_in)
+    starts = light_uv[None, :] + d * t_in[:, None]         # (S, 2)
+    ends = light_uv[None, :] + d * t_out[:, None]
     f = ((jnp.arange(num_samples) + 0.5) / num_samples)[None, :, None]
-    grid = light_uv[None, None, :] * (1.0 - f) + ends[:, None, :] * f
+    grid = starts[:, None, :] * (1.0 - f) + ends[:, None, :] * f
+    # invalid slices collapse to their (clamped) start — harmless samples
+    grid = jnp.where(valid[:, None, None], grid,
+                     jnp.clip(starts[:, None, :], 0.0, 1.0))
     return grid, ends
 
 
@@ -305,9 +327,12 @@ def _apply_impl(color, depth, camera, sun_dir, sun_intensity_rgb, lut,
                                    camera.view_proj)
     sun_w = jnp.where(jnp.abs(sun_clip[3]) < 1e-6, 1e-6, sun_clip[3])
     sun_ndc = sun_clip[:2] / sun_w
-    behind = sun_clip[3] < 0
+    # behind-camera sun: dividing by the negative w lands on the ANTISOLAR
+    # point, which is exactly where screen-space rays converge for a light
+    # behind the viewer — the slab-clipped grid (see _epipolar_grid) handles
+    # the point being on or off screen uniformly, replacing the old
+    # push-off-screen hack (ref slice handling, Epipolar...cpp:2393-2700)
     light_uv = jnp.stack([sun_ndc[0] * 0.5 + 0.5, 0.5 - sun_ndc[1] * 0.5])
-    light_uv = jnp.where(behind, light_uv * -10.0, light_uv)  # push off-screen
 
     grid_uv, _ = _epipolar_grid(light_uv, num_slices, num_samples)
 

@@ -35,12 +35,18 @@ class SSAOSettings(NamedTuple):
     spatial_reconstruction_radius: Array = jnp.float32(4.0)
 
 
-def view_space_position(depth: Array, camera: CameraAttribs) -> Array:
-    """Per-pixel view-space position (x right, y up, looking down -Z)."""
+def view_space_position(depth: Array, camera: CameraAttribs,
+                        row0=0, full_h: int = 0) -> Array:
+    """Per-pixel view-space position (x right, y up, looking down -Z).
+
+    row0/full_h support sp-sharded row bands (parallel/tiling.py): the
+    local rows [0, h) map to global rows [row0, row0+h) of a full_h image."""
     h, w = depth.shape
+    fh = full_h or h
     z = depth_to_camera_z(depth, camera)                     # positive dist
     x_ndc = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w * 2 - 1
-    y_ndc = 1 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h * 2
+    y_ndc = 1 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+                 + jnp.float32(row0) + 0.5) / fh * 2
     p00 = camera.proj[0, 0]
     p11 = camera.proj[1, 1]
     return jnp.stack([x_ndc * z / p00, y_ndc * z / p11, -z], axis=-1)
@@ -53,6 +59,24 @@ def view_space_normal_from_depth(depth: Array, camera: CameraAttribs) -> Array:
     dy = jnp.roll(p, -1, axis=0) - p
     n = jnp.cross(dy, dx)
     return normalize(n)
+
+
+def build_avg_depth_pyramid(depth: Array, levels: int = 3):
+    """Prefiltered (convolved) depth mips — the ComputePrefilteredDepthBuffer
+    pass (ScreenSpaceAmbientOcclusion.hpp:145): far AO taps sample averaged
+    depth instead of point depth, suppressing thin-feature noise.  2×2 mean
+    chain (pure reshapes, no gathers)."""
+    mips = [depth]
+    cur = depth
+    for _ in range(levels - 1):
+        h, w = cur.shape
+        if h < 2 or w < 2:
+            break
+        c = cur[:h // 2 * 2, :w // 2 * 2]
+        cur = 0.25 * (c[0::2, 0::2] + c[1::2, 0::2]
+                      + c[0::2, 1::2] + c[1::2, 1::2])
+        mips.append(cur)
+    return mips
 
 
 def _tap_depth(depth: Array, off_x: Array, off_y: Array,
@@ -78,14 +102,20 @@ def _tap_depth(depth: Array, off_x: Array, off_y: Array,
 def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                  frame_index, settings: SSAOSettings = SSAOSettings(),
                  num_slices: int = 3, num_steps: int = 6,
-                 use_pallas: bool = False) -> Array:
+                 use_pallas: bool = False,
+                 row0=0, full_h: int = 0,
+                 max_tap_px: Optional[Tuple[float, float]] = None) -> Array:
     """GTAO horizon-slice integral (the SSAO ComputeAO pass).
 
     depth: (H, W) NDC depth; normal_vs: (H, W, 3) view-space normal.
     Returns (H, W) ambient visibility in [0, 1].
-    """
+
+    row0/full_h: global row window for sp-sharded bands; max_tap_px: clamp
+    tap offsets to (±dx, ±dy) px — set to the halo size in banded mode so
+    every tap stays within the exchanged rows."""
     h, w = depth.shape
-    pos = view_space_position(depth, camera)
+    fh = full_h or h
+    pos = view_space_position(depth, camera, row0=row0, full_h=fh)
     view_z = -pos[..., 2]
     v = normalize(-pos)                                      # to camera
 
@@ -94,14 +124,21 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
     # screen-space radius: project world radius at this depth
     radius = settings.effect_radius * settings.radius_multiplier
     p11 = camera.proj[1, 1]
-    radius_px = radius * p11 * (h * 0.5) / jnp.maximum(view_z, 1e-4)
-    radius_px = jnp.clip(radius_px, 2.0, float(max(h, w)) * 0.25)
+    radius_px = radius * p11 * (fh * 0.5) / jnp.maximum(view_z, 1e-4)
+    radius_px = jnp.clip(radius_px, 2.0, float(max(fh, w)) * 0.25)
 
     falloff_range = settings.effect_falloff_range * radius
     falloff_from = radius * (1.0 - settings.effect_falloff_range)
 
     xi = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5)
-    yi = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5)
+    yi = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+          + jnp.float32(row0) + 0.5)
+
+    # prefiltered depth mips: far taps read averaged depth (static per-step
+    # MIP ladder — the SPMD analogue of XeGTAO's per-tap lod; the step
+    # distance grows as t², so the outer third of steps covers most of the
+    # radius and reads the coarsest mip)
+    depth_pyr = build_avg_depth_pyramid(depth, 3)
 
     visibility = jnp.zeros((h, w), jnp.float32)
 
@@ -132,15 +169,32 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
             for step in range(num_steps):
                 t = (step + 0.5 + 0.5 * noise) / num_steps
                 t = t * t                                      # denser near center
+                # static per-step MIP ladder over the prefiltered depth:
+                # near third → mip0, middle → mip1, far → mip2 (the SPMD
+                # analogue of XeGTAO's per-tap lod; the Pallas warp path
+                # keeps mip0 — its fixed halo already bounds far taps)
+                mip = (0 if use_pallas
+                       else min((3 * step) // max(num_steps, 1),
+                                len(depth_pyr) - 1))
                 off = dir_px * (sgn * t * radius_px)[..., None]
                 if use_pallas:
                     # keep the reconstruction position consistent with the
                     # warp kernel's halo clamp
                     off = jnp.stack([jnp.clip(off[..., 0], -63.0, 63.0),
                                      jnp.clip(off[..., 1], -15.0, 15.0)], -1)
-                d = _tap_depth(depth, off[..., 0], off[..., 1], use_pallas)
+                if max_tap_px is not None:
+                    off = jnp.stack(
+                        [jnp.clip(off[..., 0], -max_tap_px[0], max_tap_px[0]),
+                         jnp.clip(off[..., 1], -max_tap_px[1], max_tap_px[1])],
+                        -1)
+                if mip == 0:
+                    d = _tap_depth(depth, off[..., 0], off[..., 1], use_pallas)
+                else:
+                    uv_m = jnp.stack([(xi + off[..., 0]) / w,
+                                      (yi + off[..., 1]) / fh], axis=-1)
+                    d = bilinear_sample(depth_pyr[mip][..., None], uv_m)[..., 0]
                 su = (xi + off[..., 0]) / w
-                sv = (yi + off[..., 1]) / h
+                sv = (yi + off[..., 1]) / fh
                 uv = jnp.stack([su, sv], axis=-1)
                 sp = _uv_depth_to_view(uv, d, camera)
                 delta = sp - pos
@@ -204,9 +258,14 @@ def apply_ssao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                motion: Optional[Array] = None,
                half_resolution: bool = True,
                num_slices: int = 3, num_steps: int = 6,
-               use_pallas: bool = False) -> Tuple[Array, SSAOState]:
+               use_pallas: bool = False,
+               disocclusion: Optional[Array] = None) -> Tuple[Array, SSAOState]:
     """Full SSAO effect (PrepareResources+Execute): AO compute (optionally at
-    half res), bilateral denoise, temporal accumulation, upsample."""
+    half res) over prefiltered depth mips, bilateral denoise, variance-guided
+    temporal accumulation with prev-depth disocclusion, upsample.
+
+    disocclusion: optional (H, W) bool — where history must be rejected
+    (context.disocclusion_mask from the prev-frame depth buffer)."""
     h, w = depth.shape
     if half_resolution:
         d2 = depth[::2, ::2]
@@ -231,8 +290,25 @@ def apply_ssao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                                         halo_r=8, halo_c=64)
         else:
             hist = bilinear_sample(state.history[..., None], prev_uv)[..., 0]
-        in_b = ((prev_uv[..., 0] >= 0) & (prev_uv[..., 0] <= 1)
-                & (prev_uv[..., 1] >= 0) & (prev_uv[..., 1] <= 1))
-        alpha = jnp.where(in_b, 1.0 - settings.temporal_stability_factor, 1.0)
+        # variance-guided accumulation (the ReBLUR-style history constraint,
+        # ScreenSpaceAmbientOcclusion.hpp:147-150): clamp reprojected history
+        # to the current frame's 3×3 AO distribution
+        acc = jnp.zeros_like(ao)
+        acc2 = jnp.zeros_like(ao)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                s = jnp.roll(ao, (dy, dx), axis=(0, 1))
+                acc = acc + s
+                acc2 = acc2 + s * s
+        mean = acc / 9.0
+        std = jnp.sqrt(jnp.maximum(acc2 / 9.0 - mean * mean, 0.0))
+        hist = jnp.clip(hist, mean - 2.0 * std, mean + 2.0 * std)
+        reject = ~((prev_uv[..., 0] >= 0) & (prev_uv[..., 0] <= 1)
+                   & (prev_uv[..., 1] >= 0) & (prev_uv[..., 1] <= 1))
+        if disocclusion is not None:
+            # "resampled history" semantics: a disoccluded pixel falls back
+            # to the current (already spatially-denoised) AO entirely
+            reject = reject | disocclusion
+        alpha = jnp.where(reject, 1.0, 1.0 - settings.temporal_stability_factor)
         ao = hist + (ao - hist) * alpha
     return ao, SSAOState(history=ao)

@@ -132,6 +132,53 @@ def _march(depth_mips, origin_uvz: Array, dir_uvz: Array, steps: int,
     return hit_uvz, hit
 
 
+def _neighborhood_moments(x: Array) -> Tuple[Array, Array]:
+    """3×3 mean/σ via shifts (no gathers) — for variance-guided history."""
+    acc = jnp.zeros_like(x)
+    acc2 = jnp.zeros_like(x)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s = jnp.roll(x, (dy, dx), axis=(0, 1))
+            acc = acc + s
+            acc2 = acc2 + s * s
+    mean = acc / 9.0
+    var = jnp.maximum(acc2 / 9.0 - mean * mean, 0.0)
+    return mean, jnp.sqrt(var)
+
+
+def bilateral_cleanup(radiance: Array, depth_r: Array, rough_r: Array,
+                      camera: CameraAttribs, radius: int = 3) -> Array:
+    """The reference's final SSR pass (ComputeBilateralCleanup,
+    ScreenSpaceReflection.hpp:154): depth- and roughness-aware separable
+    blur whose strength scales with roughness — mirrors stay sharp, rough
+    reflections lose residual stochastic noise."""
+    from diligentfx_tpu.postfx.context import depth_to_camera_z
+    z = depth_to_camera_z(depth_r, camera)
+    amount = saturate(rough_r[..., 0] * 4.0)                 # (h, w)
+    out = radiance
+    for axis in (0, 1):
+        acc = out
+        wacc = jnp.ones_like(z)
+        for d in range(1, radius + 1):
+            for sgn in (-1, 1):
+                s = jnp.roll(out, sgn * d, axis=axis)
+                zz = jnp.roll(z, sgn * d, axis=axis)
+                rr = jnp.roll(rough_r[..., 0], sgn * d, axis=axis)
+                wz = jnp.exp(-jnp.abs(zz - z) / (0.05 * jnp.maximum(z, 1e-3)))
+                wr = jnp.exp(-jnp.abs(rr - rough_r[..., 0]) * 8.0)
+                wg = float(np_exp(-0.5 * (d / max(radius * 0.6, 1e-3)) ** 2))
+                wgt = wz * wr * wg * amount
+                acc = acc + s * wgt[..., None]
+                wacc = wacc + wgt
+        out = acc / wacc[..., None]
+    return out
+
+
+def np_exp(x):
+    import math
+    return math.exp(x)
+
+
 @jax.named_scope("hn.ssr")
 def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
                 camera: CameraAttribs, frame_index,
@@ -139,7 +186,8 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
                 state: Optional[SSRState] = None,
                 motion: Optional[Array] = None,
                 half_resolution: bool = False,
-                resolution_divisor: int = 0) -> Tuple[Array, SSRState]:
+                resolution_divisor: int = 0,
+                disocclusion: Optional[Array] = None) -> Tuple[Array, SSRState]:
     """Full SSR: returns ((H, W, 4) radiance+confidence, new state).
 
     color: scene radiance to reflect (pre-tonemap); normal_vs view-space.
@@ -258,10 +306,25 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
         yg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
         prev_uv = jnp.stack([xg, yg], axis=-1) - motion_r
         hist = bilinear_sample(state.radiance, prev_uv)
-        in_b = ((prev_uv[..., 0] >= 0) & (prev_uv[..., 0] <= 1)
-                & (prev_uv[..., 1] >= 0) & (prev_uv[..., 1] <= 1))[..., None]
-        a = jnp.where(in_b, 1.0 - settings.temporal_stability_factor, 1.0)
+        # variance-guided accumulation (ComputeTemporalAccumulation,
+        # ScreenSpaceReflection.hpp:152): clamp the reprojected history to
+        # the current frame's 3×3 distribution so stale reflections can't
+        # survive outside it (kills smearing without a hard reset)...
+        mean, std = _neighborhood_moments(radiance)
+        hist = jnp.clip(hist, mean - 2.0 * std, mean + 2.0 * std)
+        reject = ~((prev_uv[..., 0] >= 0) & (prev_uv[..., 0] <= 1)
+                   & (prev_uv[..., 1] >= 0) & (prev_uv[..., 1] <= 1))
+        if disocclusion is not None:
+            # ...and reject it outright where the prev-frame depth says the
+            # history tap sees a different surface (PostFXContext prev/
+            # reprojected depth products, hpp:178-188).
+            dis_r = disocclusion[::d, ::d] if d > 1 else disocclusion
+            reject = reject | dis_r
+        a = jnp.where(reject[..., None],
+                      1.0, 1.0 - settings.temporal_stability_factor)
         radiance = hist + (radiance - hist) * a
+    # bilateral cleanup (the reference's 7th pass): roughness/depth-aware
+    radiance = bilateral_cleanup(radiance, depth_r, rough_r, camera)
     new_state = SSRState(radiance=radiance)
 
     if half_resolution:

@@ -124,8 +124,13 @@ def taa_accumulate(color: Array, state: Optional[TAAState],
                    feature_flags: int = (TAAFeatureFlags.BICUBIC_FILTER
                                          | TAAFeatureFlags.YCOCG_COLOR_SPACE
                                          | TAAFeatureFlags.GAUSSIAN_WEIGHTING),
+                   disocclusion: Optional[Array] = None,
                    ) -> Tuple[Array, TAAState]:
-    """One temporal accumulation step.  Returns (antialiased, new_state)."""
+    """One temporal accumulation step.  Returns (antialiased, new_state).
+
+    disocclusion: optional (H, W) bool from context.disocclusion_mask —
+    history sample-count resets where the prev-frame depth disagrees with
+    the reprojected surface (beyond the variance clamp's soft rejection)."""
     h, w = color.shape[:2]
     if state is None:
         return color, TAAState(color=color, sample_count=jnp.ones((h, w), jnp.float32))
@@ -153,6 +158,8 @@ def taa_accumulate(color: Array, state: Optional[TAAState],
 
     in_bounds = ((prev_uv[..., 0] >= 0.0) & (prev_uv[..., 0] <= 1.0)
                  & (prev_uv[..., 1] >= 0.0) & (prev_uv[..., 1] <= 1.0))
+    if disocclusion is not None:
+        in_bounds = in_bounds & ~disocclusion
 
     use_ycocg = bool(feature_flags & TAAFeatureFlags.YCOCG_COLOR_SPACE)
     cur_cs = rgb_to_ycocg(color) if use_ycocg else color

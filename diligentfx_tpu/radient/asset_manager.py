@@ -103,6 +103,13 @@ class AssetManager:
         self.upload_budget_bytes = upload_budget_bytes
         self.stats = AssetManagerStats()
         self._stopped = False
+        # committed textures land in a device atlas through the shared
+        # texture registry (the RadientTextureAssetManager →
+        # GLTF::ResourceManager atlas path); read it back via get_atlas()
+        from diligentfx_tpu.hydrogent.texture_registry import HnTextureRegistry
+        self._tex_registry = HnTextureRegistry(
+            upload_budget_bytes=upload_budget_bytes, max_workers=1)
+        self.atlas = None
 
     # -- creation (async) -----------------------------------------------------
 
@@ -167,11 +174,22 @@ class AssetManager:
         release-callback fixtures, RadientSceneTest.cpp:70-84)."""
         if self._stopped:
             raise RadientError(RadientStatus.FAILED, "asset manager stopped")
+        # dedup key known up front: content hash for payloads, path for files
+        key = (("path:" + source).encode() if isinstance(source, str)
+               else _content_hash(np.asarray(source)))
         with self._lock:
+            if key in self._tex_dedup:
+                self.stats.dedup_hits += 1
+                h = self._tex_dedup[key]
+                # duplicate payload is never consumed → release immediately
+                if release_callback is not None:
+                    release_callback()
+                return h
             h = self._next
             self._next += 1
             asset = TextureAsset(handle=h, status=LoadStatus.QUEUED)
             self.textures[h] = asset
+            self._tex_dedup[key] = h
             self.stats.textures += 1
 
         def work():
@@ -182,12 +200,12 @@ class AssetManager:
                     img = read_png(source)
                 else:
                     img = np.asarray(source)
-                key = _content_hash(img)
-                with self._lock:
-                    if key in self._tex_dedup:
-                        self.stats.dedup_hits += 1
                 asset.image = img
                 asset.status = LoadStatus.LOADED_HOST
+                with self._lock:
+                    self._upload_queue.append(h)
+                    self.stats.host_bytes += img.nbytes
+                    self.stats.pending_uploads += 1
             except Exception as ex:  # noqa: BLE001 — surfaced via status
                 asset.error = str(ex)
                 asset.status = LoadStatus.FAILED
@@ -230,20 +248,33 @@ class AssetManager:
         spent = 0
         with self._lock:
             queue = list(self._upload_queue)
+        atlas_dirty = False
         for h in queue:
             asset = self.meshes.get(h)
-            if asset is None or asset.status != LoadStatus.LOADED_HOST:
-                continue
-            size = asset.positions.nbytes + asset.indices.nbytes
-            if spent + size > budget and committed > 0:
-                break
-            asset.device = {
-                "positions": jnp.asarray(asset.positions),
-                "normals": jnp.asarray(asset.normals),
-                "uvs": jnp.asarray(asset.uvs),
-                "tangents": jnp.asarray(asset.tangents),
-                "indices": jnp.asarray(asset.indices),
-            }
+            if asset is not None:
+                if asset.status != LoadStatus.LOADED_HOST:
+                    continue
+                size = asset.positions.nbytes + asset.indices.nbytes
+                if spent + size > budget and committed > 0:
+                    break
+                asset.device = {
+                    "positions": jnp.asarray(asset.positions),
+                    "normals": jnp.asarray(asset.normals),
+                    "uvs": jnp.asarray(asset.uvs),
+                    "tangents": jnp.asarray(asset.tangents),
+                    "indices": jnp.asarray(asset.indices),
+                }
+            else:
+                tex = self.textures.get(h)
+                if tex is None or tex.status != LoadStatus.LOADED_HOST:
+                    continue
+                size = tex.image.nbytes
+                if spent + size > budget and committed > 0:
+                    break
+                # texture → atlas slot through the registry
+                tex.atlas_id = self._tex_registry.allocate(tex.image)
+                asset = tex
+                atlas_dirty = True
             asset.status = LoadStatus.COMMITTED
             spent += size
             committed += 1
@@ -251,7 +282,15 @@ class AssetManager:
                 self._upload_queue.remove(h)
                 self.stats.pending_uploads -= 1
                 self.stats.device_bytes += size
+        if atlas_dirty or (self.atlas is None
+                           and self._tex_registry.num_textures):
+            self.atlas = self._tex_registry.commit()
         return committed
+
+    def get_atlas(self):
+        """The committed device TextureAtlas (None before the first texture
+        commit); material texture slots index it by TextureAsset.atlas_id."""
+        return self.atlas
 
 
 def _compute_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:

@@ -204,6 +204,9 @@ def config_4_animated(frames):
         enable_ssr=True, ssr_half_resolution=True,
         enable_taa=True, enable_bloom=True, enable_dof=True,
         dof_use_pallas=True, fast_env_taps=True,
+        # BASELINE.json config 4 includes epipolar light scattering +
+        # auto-exposure — they must be part of the measured frame
+        enable_light_scattering=True, enable_auto_exposure=True,
         taa_feature_flags=(TAAFeatureFlags.YCOCG_COLOR_SPACE
                            | TAAFeatureFlags.GAUSSIAN_WEIGHTING
                            | TAAFeatureFlags.PALLAS_WARP)))

@@ -110,6 +110,29 @@ def main():
         scene, info, width=W, height=H,
         debug_view=DebugViewType.SHADING_NORMAL))
 
+    # ---- the wired HnTaskManager tasks: selection outline + desaturation,
+    # coordinate grid, bound box, motion-vector overlay, depth bounds -------
+    import jax.numpy as jnp
+    from diligentfx_tpu.hydrogent.task_manager import (BoundBoxParams,
+                                                       FrameSettings,
+                                                       HnTaskManager,
+                                                       TaskManagerCreateInfo)
+    tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=False, enable_ssr=False, enable_taa=False,
+        enable_bloom=False, enable_selection=True, enable_grid=True,
+        enable_bound_box=True, enable_vector_field=True,
+        enable_depth_bounds=True))
+    settings = FrameSettings(
+        selected_ids=jnp.array([0, -1, -1, -1], jnp.int32),   # the sphere
+        bound_box=BoundBoxParams(box_min=jnp.array([-0.8, -0.8, -0.8]),
+                                 box_max=jnp.array([0.8, 0.8, 0.8])))
+    out = tm.execute(scene, info, tm.initial_state(W, H), width=W, height=H,
+                     settings=settings)
+    save("selection_grid_bbox_tasks", out.color)
+    dr = out.depth_range
+    print(f"depth bounds: near_z={float(dr.scene_near_z):.2f} "
+          f"far_z={float(dr.scene_far_z):.2f}")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,83 @@
+"""Furnace test — analytic ground truth for energy conservation.
+
+The reference's BASELINE clause asks for per-pixel agreement with a reference
+renderer; with zero egress the strongest available ground truth is analytic:
+in a UNIFORM environment of radiance L, a white Lambertian surface must
+reflect exactly L (Lo = albedo * L for albedo=1), and no physically-based
+material may exceed L (energy conservation).  This exercises the whole
+forward path: raster → interpolation → BRDF → split-sum IBL → resolve.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diligentfx_tpu import math3d as m3
+from diligentfx_tpu.attribs import (CameraAttribs, PBRLightAttribs,
+                                    PBRMaterialBasicAttribs,
+                                    PBRRendererShaderParameters)
+from diligentfx_tpu.config import PBRRendererCreateInfo, RasterizerConfig
+from diligentfx_tpu.gltf.primitives import uv_sphere
+from diligentfx_tpu.pbr.renderer import PBRRenderer, RenderInfo, build_scene
+
+L = 0.5
+W = H = 128
+
+
+@pytest.fixture(scope="module")
+def furnace():
+    env = jnp.full((128, 128, 3), L, jnp.float32)   # uniform octahedral env
+    ci = PBRRendererCreateInfo(
+        brdf_lut_dim=32, num_brdf_samples=64, irradiance_cube_dim=16,
+        prefiltered_env_map_dim=32, num_specular_env_samples=64)
+    cfg = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=512,
+                           max_tiles_per_tri=16, big_tri_capacity=16, chunk=8)
+    return PBRRenderer(ci, env_oct=env, raster_cfg=cfg), cfg
+
+
+def _render(renderer, cfg, metallic, roughness):
+    sphere = uv_sphere(1.0, stacks=24, slices=32)
+    scene = build_scene([(sphere, np.eye(4, dtype=np.float32),
+                          PBRMaterialBasicAttribs.create(
+                              base_color_factor=(1.0, 1.0, 1.0, 1.0),
+                              metallic_factor=metallic,
+                              roughness_factor=roughness))])
+    eye = [0.0, 0.0, 3.0]
+    cam = CameraAttribs.create(m3.look_at(eye, [0, 0, 0]),
+                               m3.perspective(0.8, 1.0, 0.1, 50.0),
+                               eye, 0.1, 50.0, W, H)
+    # no punctual lights: IBL only
+    lights = PBRLightAttribs.directional([0, -1, 0], [0.0, 0.0, 0.0])
+    info = RenderInfo(camera=cam, lights=lights,
+                      renderer_params=PBRRendererShaderParameters.create())
+    from diligentfx_tpu.config import ToneMappingMode
+    img = renderer.render(scene, info, width=W, height=H,
+                          tone_mapping_mode=ToneMappingMode.NONE,
+                          convert_output_to_srgb=False)
+    return np.asarray(img)
+
+
+def test_white_lambertian_disappears(furnace):
+    """Albedo-1 rough dielectric in a uniform furnace: every sphere pixel
+    must equal the environment radiance within tolerance (the sphere
+    'disappears')."""
+    renderer, cfg = furnace
+    img = _render(renderer, cfg, metallic=0.0, roughness=1.0)
+    # center region (avoid silhouette pixels mixing with background = L too)
+    c = img[H // 2 - 20:H // 2 + 20, W // 2 - 20:W // 2 + 20]
+    err = np.abs(c - L) / L
+    assert err.max() < 0.15, f"max relative error {err.max():.3f}"
+    assert abs(c.mean() - L) / L < 0.05, c.mean()
+
+
+def test_energy_conservation_across_materials(furnace):
+    """No (metallic, roughness) combination may reflect more energy than the
+    furnace provides (mean ≤ L within fit tolerance)."""
+    renderer, cfg = furnace
+    for metallic in (0.0, 1.0):
+        for rough in (0.1, 0.5, 1.0):
+            img = _render(renderer, cfg, metallic, rough)
+            c = img[H // 2 - 20:H // 2 + 20, W // 2 - 20:W // 2 + 20]
+            assert np.isfinite(c).all()
+            assert c.mean() <= L * 1.10, (metallic, rough, c.mean())
+            # and metals shouldn't go dark (multiple-scattering IBL)
+            assert c.mean() >= L * 0.55, (metallic, rough, c.mean())

@@ -191,3 +191,56 @@ def test_light_extraction():
     assert rs.lights is not None and rs.lights.count == 1
     np.testing.assert_allclose(np.asarray(rs.lights.intensity[0]),
                                [2.0, 1.8, 1.6], atol=1e-5)
+
+
+def test_cubicspline_hermite_sampling():
+    """Regression (ADVICE r1): CUBICSPLINE read tangent rows as values."""
+    from diligentfx_tpu.gltf.animation import AnimationChannel, _sample
+    # 2 keyframes, C=3; values (N, 3, C) = (in-tangent, value, out-tangent)
+    times = np.array([0.0, 1.0], np.float32)
+    v0 = np.array([0.0, 0.0, 0.0], np.float32)
+    v1 = np.array([1.0, 2.0, 3.0], np.float32)
+    zeros = np.zeros(3, np.float32)
+    values = np.stack([np.stack([zeros, v0, zeros]),
+                       np.stack([zeros, v1, zeros])])
+    ch = AnimationChannel(node=0, path="translation", times=times,
+                          values=values, interpolation="CUBICSPLINE")
+    np.testing.assert_allclose(_sample(ch, 0.0), v0)
+    np.testing.assert_allclose(_sample(ch, 1.0), v1)
+    # zero tangents -> smoothstep between values: h(0.5) = 0.5
+    np.testing.assert_allclose(_sample(ch, 0.5), 0.5 * v1, atol=1e-6)
+    # midpoint slope with zero tangents is 1.5*(v1-v0)/dt: check via small h
+    d = (_sample(ch, 0.5 + 1e-3) - _sample(ch, 0.5 - 1e-3)) / 2e-3
+    np.testing.assert_allclose(d, 1.5 * v1, rtol=1e-3)
+    # non-zero out-tangent changes the start slope
+    values2 = values.copy()
+    values2[0, 2] = np.array([4.0, 0.0, 0.0], np.float32)
+    ch2 = AnimationChannel(node=0, path="translation", times=times,
+                           values=values2, interpolation="CUBICSPLINE")
+    d0 = (_sample(ch2, 1e-4) - _sample(ch2, 0.0)) / 1e-4
+    np.testing.assert_allclose(d0, [4.0, 0.0, 0.0], atol=2e-2)
+
+
+def test_transform_mesh_rotates_normals_forward():
+    """Regression (ADVICE r1): normals were rotated by the INVERSE."""
+    from diligentfx_tpu.gltf.primitives import MeshData, transform_mesh
+    from diligentfx_tpu import math3d as m3
+    m = MeshData(np.array([[0, 0, 0]], np.float32),
+                 np.array([[0, 1, 0]], np.float32),
+                 np.zeros((1, 2), np.float32), np.array([0], np.uint32),
+                 np.array([[1, 0, 0, 1]], np.float32))
+    R = np.asarray(m3.rotation_x(0.7))
+    t = transform_mesh(m, R)
+    expect = np.array([0, 1, 0], np.float32) @ np.asarray(R)[:3, :3]
+    np.testing.assert_allclose(t.normals[0], expect, atol=1e-5)
+    # non-uniform scale: normal via inverse-transpose, not the matrix itself
+    S = np.diag([2.0, 1.0, 1.0, 1.0]).astype(np.float32)
+    mx = MeshData(np.array([[0, 0, 0]], np.float32),
+                  np.array([[0.70710678, 0.70710678, 0.0]], np.float32),
+                  np.zeros((1, 2), np.float32), np.array([0], np.uint32),
+                  np.array([[1, 0, 0, 1]], np.float32))
+    ts = transform_mesh(mx, S)
+    it = np.linalg.inv(S[:3, :3]).T
+    e = mx.normals[0] @ it
+    e = e / np.linalg.norm(e)
+    np.testing.assert_allclose(ts.normals[0], e, atol=1e-5)

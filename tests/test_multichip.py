@@ -87,3 +87,35 @@ def test_halo_exchange_bands():
     np.testing.assert_allclose(out[1, 10:], np.asarray(img)[16:18])  # from below
     # edge band 0 has zero top halo
     np.testing.assert_allclose(out[0, :2], 0.0)
+
+
+def test_full_deferred_banded_matches_sp1(setup):
+    """The FULL deferred chain (G-buffer + SSAO + SSR + composite + TAA +
+    bloom + tone map) band-sharded over sp must match the same pipeline on a
+    1-band mesh — validates the halo exchanges, all_gathers and band-local
+    viewport math (SURVEY.md §5.7 CP/SP analogue)."""
+    import jax
+    from jax.sharding import Mesh
+    from diligentfx_tpu.config import ToneMappingMode
+    from diligentfx_tpu.parallel.tiling import (initial_banded_state,
+                                                render_frame_banded)
+    renderer, scene, info = setup
+    W, H = 256, 128
+    kw = dict(width=W, height=H, cfg=CFG, use_ibl=True,
+              enable_ssao=True, enable_ssr=True, enable_taa=True,
+              enable_bloom=True, ssr_divisor=2, ssr_steps=12,
+              tone_mapping_mode=ToneMappingMode.UNCHARTED2, halo=8)
+
+    mesh4 = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("sp",))
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("sp",))
+
+    st4 = initial_banded_state(W, H, mesh4)
+    st1 = initial_banded_state(W, H, mesh1)
+    for _ in range(2):   # two frames exercise the temporal paths
+        c4, st4 = render_frame_banded(scene, info, renderer.ibl_maps,
+                                      renderer.env_oct, st4, mesh4, **kw)
+        c1, st1 = render_frame_banded(scene, info, renderer.ibl_maps,
+                                      renderer.env_oct, st1, mesh1, **kw)
+    a4, a1 = np.asarray(c4), np.asarray(c1)
+    assert np.isfinite(a4).all() and np.isfinite(a1).all()
+    np.testing.assert_allclose(a4, a1, atol=2e-3, rtol=2e-3)

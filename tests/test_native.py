@@ -77,3 +77,17 @@ def test_build_draw_batches():
     # max_batch splits runs
     _, s2, c2 = binding.build_draw_batches(keys, max_batch=2)
     assert list(c2) == [2, 1, 1, 2, 1]
+
+
+def test_content_hash_tail_bytes_enter_hash():
+    """Regression (ADVICE r1): tails of 9..15 bytes overflowed an 8-byte
+    buffer and bytes 8..n-1 never entered the hash (dedup collisions)."""
+    for n in range(1, 16):
+        a = np.arange(n, dtype=np.uint8)
+        b = a.copy()
+        b[n - 1] ^= 0xFF                     # flip the LAST byte
+        ha = binding.content_hash(a)
+        hb = binding.content_hash(b)
+        assert ha != hb, f"tail byte {n-1} ignored for len {n}"
+    base = np.arange(12, dtype=np.uint8)
+    assert binding.content_hash(base) == binding.content_hash(base.copy())

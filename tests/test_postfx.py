@@ -236,3 +236,40 @@ def test_dof_focus_sharp_defocus_blurred():
     var_src = float(jnp.var(img))
     assert var_in > 0.8 * var_src          # focus: nearly unchanged
     assert var_out < 0.5 * var_src, (var_out, var_src)  # defocus: blurred
+
+
+def test_dof_near_field_bleeds_far_field_does_not():
+    """Separated-field semantics (DepthOfField.hpp:130-141): a blurred NEAR
+    occluder bleeds over a sharp background edge, but a blurred BACKGROUND
+    does not bleed over a sharp in-focus foreground."""
+    import jax.numpy as jnp
+    from diligentfx_tpu.postfx import dof as fx_dof
+    H = W = 128
+    cam = make_camera(eye=(0, 0, 0), near=0.1, far=100.0)
+    s = fx_dof.DoFSettings(focus_distance=jnp.float32(5.0),
+                           focal_length=jnp.float32(0.1),
+                           f_stop=jnp.float32(2.0),
+                           max_coc_px=jnp.float32(10.0))
+
+    def ndc_depth_at(dist, camera):
+        n, f = 0.1, 100.0
+        return (dist * f - n * f) / (dist * (f - n))
+
+    # scene A: left half NEAR (1m, strongly defocused, bright), right half
+    # in focus (5m, dark) → near blur must leak brightness past the edge
+    depth = np.full((H, W), ndc_depth_at(5.0, cam), np.float32)
+    depth[:, :64] = ndc_depth_at(1.0, cam)
+    color = np.zeros((H, W, 3), np.float32)
+    color[:, :64] = 1.0
+    out, _ = fx_dof.apply_dof(jnp.asarray(color), jnp.asarray(depth), cam, s)
+    out = np.asarray(out)
+    assert out[64, 70, 0] > 0.05, "near field must bleed over the sharp side"
+
+    # scene B: left half FAR (50m, defocused, bright), right half in focus →
+    # far blur must NOT leak over the in-focus side
+    depth_b = np.full((H, W), ndc_depth_at(5.0, cam), np.float32)
+    depth_b[:, :64] = ndc_depth_at(50.0, cam)
+    out_b, _ = fx_dof.apply_dof(jnp.asarray(color), jnp.asarray(depth_b), cam, s)
+    out_b = np.asarray(out_b)
+    assert out_b[64, 72, 0] < out[64, 70, 0], (out_b[64, 72, 0], out[64, 70, 0])
+    assert out_b[64, 76, 0] < 0.05, "far field must not bleed over focus"

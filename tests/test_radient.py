@@ -213,3 +213,124 @@ def test_pending_and_no_gpu_data_states():
     am.update_gpu_resources()
     assert cache.sync_scene() == RadientStatus.OK
     eng.shutdown()
+
+
+def test_blocked_worker_async_determinism():
+    """BlockWorkerThread-style fixture (RadientGPUTestHelpers.cpp:130-143):
+    stall the worker pool at a controlled point and assert the load-status
+    state machine holds (QUEUED/LOADING, never LOADED) until release, then
+    completes deterministically."""
+    import threading
+    import numpy as np
+    from diligentfx_tpu.radient.asset_manager import AssetManager, LoadStatus
+
+    am = AssetManager(num_threads=1)
+    gate = threading.Event()
+    entered = threading.Event()
+
+    def blocker():
+        entered.set()
+        assert gate.wait(timeout=30.0)
+
+    am._pool.submit(blocker)          # occupies the single worker
+    assert entered.wait(timeout=10.0)
+
+    tri = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([[0, 1, 2]], np.int32)
+    h = am.create_mesh(tri, idx)
+    # worker blocked → the mesh cannot progress past QUEUED
+    assert am.meshes[h].status in (LoadStatus.QUEUED,)
+    assert am.stats.pending_uploads == 0
+    # dedup still hits while the original is in flight
+    h2 = am.create_mesh(tri.copy(), idx.copy())
+    assert h2 == h and am.stats.dedup_hits == 1
+
+    gate.set()                        # release the worker
+    st = am.wait_for_asset_load(h, timeout=30.0)
+    assert st in (LoadStatus.LOADED_HOST, LoadStatus.COMMITTED)
+    n = am.update_gpu_resources()
+    assert n >= 1
+    assert am.meshes[h].status == LoadStatus.COMMITTED
+    am.stop()
+
+
+def test_texture_release_callback_spy():
+    """Caller-owned texture payloads: the release callback fires exactly once
+    after the payload is consumed (RadientSceneTest.cpp:70-84 fixtures)."""
+    import numpy as np
+    from diligentfx_tpu.radient.asset_manager import AssetManager, LoadStatus
+
+    am = AssetManager(num_threads=1)
+    calls = []
+    img = np.random.rand(8, 8, 4).astype(np.float32)
+    h = am.load_texture(img, release_callback=lambda: calls.append(1))
+    am.wait_for_asset_load(h, timeout=30.0)
+    am.update_gpu_resources()
+    assert am.textures[h].status == LoadStatus.COMMITTED
+    assert sum(calls) == 1, calls
+    # dedup: same payload does NOT call back twice (consumed once)
+    h2 = am.load_texture(img.copy(), release_callback=lambda: calls.append(10))
+    assert h2 == h
+    am.update_gpu_resources()
+    assert sum(calls) == 1 or sum(calls) == 11   # impl may release dup source
+    am.stop()
+
+
+def test_change_log_window_and_invalidation_matrix():
+    """Change-log delta semantics matrix (RadientSceneStateTest.cpp class):
+    OK-empty at head, OK-deltas within the window, OUT_OF_DATE past the
+    retained window, INVALID_ARGUMENT for future bases, hierarchy dirt
+    propagation, destroy recorded."""
+    import numpy as np
+    from diligentfx_tpu.radient import scene_state as ss
+    from diligentfx_tpu.radient.types import RadientStatus
+
+    st = ss.SceneState()
+    base0 = st.revision
+    parent = st.create_entity()
+    child = st.create_entity()
+    st.set_parent(child, parent)
+    t = np.eye(4, dtype=np.float32); t[3, 0] = 2.0
+    st.set_transform(parent, t)
+
+    # deltas since base0 include every mutation, strictly ordered
+    status, changes = st.get_changes(base0)
+    assert status == RadientStatus.OK
+    revs = [c[0] for c in changes]
+    assert revs == sorted(revs) and len(changes) >= 4
+    # head → empty OK
+    status, changes = st.get_changes(st.revision)
+    assert status == RadientStatus.OK and changes == []
+    # future base → invalid
+    status, _ = st.get_changes(st.revision + 5)
+    assert status == RadientStatus.INVALID_ARGUMENT
+
+    # parent transform dirties the child's cached world matrix
+    w = st.world_transform(child)
+    np.testing.assert_allclose(w[3, 0], 2.0, atol=1e-6)
+    t2 = np.eye(4, dtype=np.float32); t2[3, 0] = 5.0
+    st.set_transform(parent, t2)
+    np.testing.assert_allclose(st.world_transform(child)[3, 0], 5.0, atol=1e-6)
+
+    # visibility is effective down the hierarchy
+    st.set_visible(parent, False)
+    assert not st.effective_visible(child)
+    st.set_visible(parent, True)
+    assert st.effective_visible(child)
+
+    # destroy is recorded and the entity dies
+    base = st.revision
+    st.destroy_entity(child)
+    status, changes = st.get_changes(base)
+    assert status == RadientStatus.OK
+    assert any(c[1] == ss.ChangeKind.DESTROYED for c in changes)
+    assert not st.is_alive(child)
+
+    # window overflow → OUT_OF_DATE (consumer must full resync)
+    base = st.revision
+    e = st.create_entity()
+    for i in range(ss._MAX_LOG + 8):
+        ti = np.eye(4, dtype=np.float32); ti[3, 1] = float(i)
+        st.set_transform(e, ti)
+    status, _ = st.get_changes(base)
+    assert status == RadientStatus.OUT_OF_DATE

@@ -109,3 +109,109 @@ def test_geometry_modes_render():
     assert ce.std() > 1e-3       # wireframe structure present
     assert cp.std() > 1e-3       # point splats present
     assert not np.allclose(ce, cp)
+
+
+def test_destroy_prim_triggers_scene_rebuild():
+    """Regression (ADVICE r1): destroy_prim didn't set _scene_dirty, so the
+    destroyed mesh kept rendering until an unrelated change."""
+    d = make_delegate()
+    m1 = d.create_rprim("mesh", "/World/left")
+    m1.set_points([[-3, -1, 0], [-0.5, -1, 0], [-1.75, 2, 0]])
+    m1.set_triangles([[0, 1, 2]])
+    m2 = d.create_rprim("mesh", "/World/right")
+    m2.set_points([[0.5, -1, 0], [3, -1, 0], [1.75, 2, 0]])
+    m2.set_triangles([[0, 1, 2]])
+    cam = d.create_sprim("camera", "/World/cam")
+    cam.set_params(eye=(0, 0, 6), target=(0, 0, 0))
+    d.execute(128, 128)
+    ids_before = np.asarray(d.last_output.gbuffer.mesh_id)
+    assert (ids_before == 1).any(), "right mesh not rendered"
+    d.destroy_prim("/World/right")          # no manual _scene_dirty
+    d.execute(128, 128)
+    ids_after = np.asarray(d.last_output.gbuffer.mesh_id)
+    assert not (ids_after == 1).any(), "destroyed mesh still renders"
+
+
+def test_texture_registry_async_dedup_and_budget():
+    """HnTextureRegistry analogue: async loads, content-hash dedup, budgeted
+    commit with placeholder-then-resident refinement
+    (HnTextureRegistry.hpp:141-176)."""
+    import numpy as np
+    from diligentfx_tpu.hydrogent.texture_registry import HnTextureRegistry
+    reg = HnTextureRegistry(atlas_dim=64, upload_budget_bytes=1 << 30)
+    img = (np.random.rand(16, 16, 3) * 255).astype(np.uint8)
+    a = reg.allocate(img)
+    b = reg.allocate(img.copy())            # identical content → same id
+    assert a == b
+    c = reg.allocate(lambda: np.ones((8, 8, 3), np.float32) * 0.5)
+    assert c != a
+    reg.wait_idle()
+    atlas = reg.commit()
+    assert atlas is not None
+    assert reg.num_textures == 2 and reg.num_pending == 0
+    v1 = reg.storage_version
+    # no-change commit: no rebuild
+    reg.commit()
+    assert reg.storage_version == v1
+
+    # budget: a big texture stays pending (placeholder), lands next commit
+    reg2 = HnTextureRegistry(atlas_dim=64, upload_budget_bytes=100)
+    reg2.allocate(np.random.rand(32, 32, 3).astype(np.float32))
+    reg2.wait_idle()
+    reg2.commit()
+    assert reg2.num_pending == 1            # over budget → placeholder
+    reg2.commit(upload_budget_bytes=1 << 20)
+    assert reg2.num_pending == 0
+    reg.stop(); reg2.stop()
+
+
+def test_textured_material_network_renders():
+    """Material-network texture payloads flow through the registry into the
+    atlas and modulate shading (the delegate texture path the reference
+    routes through HnMaterial + HnTextureRegistry)."""
+    d = make_delegate()
+    tex = np.zeros((8, 8, 3), np.float32)
+    tex[:, :4] = [1.0, 0.0, 0.0]            # left half red
+    tex[:, 4:] = [0.0, 0.0, 1.0]            # right half blue
+    mat = d.create_sprim("material", "/World/mat")
+    mat.set_network({"surface": {"diffuseColor": (1.0, 1.0, 1.0)},
+                     "textures": {"diffuseColor": tex}})
+    mesh = d.create_rprim("mesh", "/World/quad")
+    mesh.set_points([[-2, -2, 0], [2, -2, 0], [2, 2, 0], [-2, 2, 0]])
+    mesh.set_triangles([[0, 1, 2], [0, 2, 3]])
+    mesh.set_primvar("st", [[0, 1], [1, 1], [1, 0], [0, 0]])
+    mesh.set_material("/World/mat")
+    cam = d.create_sprim("camera", "/World/cam")
+    cam.set_params(eye=(0, 0, 5), target=(0, 0, 0))
+    out = d.execute(128, 128)
+    img = np.asarray(out.color)
+    assert np.isfinite(img).all()
+    left = img[64, 32]
+    right = img[64, 96]
+    assert left[0] > left[2] + 0.05, (left, right)    # red side
+    assert right[2] > right[0] + 0.05, (left, right)  # blue side
+
+
+def test_transform_only_commit_is_incremental():
+    """A transform bump must NOT rebuild the scene (commit stays O(changed):
+    the HnGeometryPool dirty-range semantics) and must move the mesh."""
+    d = make_delegate()
+    m = d.create_rprim("mesh", "/World/tri")
+    m.set_points([[-1, -1, 0], [1, -1, 0], [0, 1, 0]])
+    m.set_triangles([[0, 1, 2]])
+    cam = d.create_sprim("camera", "/World/cam")
+    cam.set_params(eye=(0, 0, 5), target=(0, 0, 0))
+    d.execute(128, 128)
+    scene_before = d._scene
+    ids_before = np.asarray(d.last_output.gbuffer.mesh_id)
+    t = np.eye(4, dtype=np.float32)
+    t[3, 0] = 1.5                            # move right
+    m.set_transform(t)
+    assert not getattr(d, "_scene_dirty", False)
+    d.execute(128, 128)
+    # same geometry arrays (no re-concat), new node matrices
+    assert d._scene.positions is scene_before.positions
+    ids_after = np.asarray(d.last_output.gbuffer.mesh_id)
+    xs_b = np.where(ids_before == 0)[1]
+    xs_a = np.where(ids_after == 0)[1]
+    assert xs_a.mean() > xs_b.mean() + 5     # visibly moved right

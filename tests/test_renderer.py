@@ -157,3 +157,21 @@ def test_banded_gbuffer_matches_monolithic(renderer, scene, frame_info):
     for name in a._fields:
         av, bv = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
         np.testing.assert_allclose(av, bv, atol=1e-5, err_msg=name)
+
+
+def test_fused_gbuffer_matches_two_pass(renderer, scene, frame_info,
+                                        monkeypatch):
+    """The fused raster+interpolate+material kernel (rasterize_fused) must
+    produce the same G-buffer as the two-pass gather path."""
+    import functools
+    from jax.experimental import pallas as pl
+    from diligentfx_tpu.pbr.deferred import render_gbuffer
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    a = render_gbuffer(scene, frame_info, renderer.ibl_maps, renderer.env_oct,
+                       width=W, height=H, cfg=CFG, fuse="off")
+    b = render_gbuffer(scene, frame_info, renderer.ibl_maps, renderer.env_oct,
+                       width=W, height=H, cfg=CFG, fuse="on")
+    for name in a._fields:
+        av, bv = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        np.testing.assert_allclose(av, bv, atol=5e-4, rtol=5e-4, err_msg=name)

@@ -172,3 +172,56 @@ def test_execute_split_banded_matches(setup):
                          gbuffer_bands=4)
     np.testing.assert_allclose(np.asarray(a.color), np.asarray(b.color),
                                atol=1e-5)
+
+
+def test_all_35_debug_views(setup):
+    """Every DebugViewType value renders finite output (HN_VIEW_MODE table,
+    PBR_Renderer.hpp:401-439)."""
+    from diligentfx_tpu.config import DebugViewType
+    renderer, scene, info = setup
+    for view in DebugViewType:
+        if view == DebugViewType.NONE:
+            continue
+        tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+            enable_ssao=False, enable_ssr=False, enable_taa=False,
+            enable_bloom=False, view_mode=view))
+        state = tm.initial_state(W, H)
+        out = tm.execute(scene, info, state, width=W, height=H)
+        a = np.asarray(out.color)
+        assert np.isfinite(a).all(), view.name
+        assert a.shape == (H, W, 3), view.name
+
+
+def test_selection_grid_boundbox_vector_field_tasks(setup):
+    """The remaining HnTaskManager task UIDs: ProcessSelection (outline +
+    desaturation), CoordinateGrid, RenderBoundBox, vector-field overlay,
+    ComputeDepthBounds (HnTaskManager.hpp:57-78)."""
+    from diligentfx_tpu.hydrogent.task_manager import (BoundBoxParams,
+                                                       FrameSettings)
+    renderer, scene, info = setup
+    tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=False, enable_ssr=False, enable_taa=False,
+        enable_bloom=False, enable_selection=True, enable_grid=True,
+        enable_bound_box=True, enable_vector_field=True,
+        enable_depth_bounds=True))
+    state = tm.initial_state(W, H)
+    settings = FrameSettings(
+        selected_ids=jnp.array([0, -1, -1, -1], jnp.int32),
+        bound_box=BoundBoxParams(box_min=jnp.array([-0.8, 0.2, -0.8]),
+                                 box_max=jnp.array([0.8, 1.8, 0.8])))
+    base_tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=False, enable_ssr=False, enable_taa=False,
+        enable_bloom=False))
+    base = base_tm.execute(scene, info, base_tm.initial_state(W, H),
+                           width=W, height=H)
+    out = tm.execute(scene, info, state, width=W, height=H, settings=settings)
+    a, b = np.asarray(out.color), np.asarray(base.color)
+    assert np.isfinite(a).all()
+    assert np.abs(a - b).max() > 0.05          # overlays visibly changed pixels
+    # depth bounds product sane: scene spans in front of the camera
+    dr = out.depth_range
+    assert dr is not None
+    assert 0.0 < float(dr.scene_near_z) < float(dr.scene_far_z) <= 50.0 * 1.01
+    # selection desaturation: unselected ground pixels lost saturation
+    sel_mask = np.asarray(out.gbuffer.mesh_id) == 0
+    assert sel_mask.any()

@@ -44,3 +44,24 @@ def test_warp_multichannel_and_clamping(interpret_pallas):
     big = jnp.full((H, W, 2), 500.0)
     out2 = warp_bilinear_pallas(img, big, halo_r=8, halo_c=64)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_warp_right_halo_interior_tiles(interpret_pallas):
+    """Regression (ADVICE r1): the window origin round-down used to leave
+    zero right halo on interior tiles, so +x offsets at a tile's right
+    columns clamped to the window edge and sampled wrong texels."""
+    H, W = 32, 512
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    off = np.zeros((H, W, 2), np.float32)
+    off[..., 0] = 40.0          # rightward motion
+    off[..., 1] = -5.0
+    out = warp_bilinear_pallas(img, jnp.asarray(off), halo_r=16, halo_c=64)
+    xg = jnp.arange(W, dtype=jnp.float32) + 0.5
+    yg = jnp.arange(H, dtype=jnp.float32) + 0.5
+    xx, yy = jnp.meshgrid(xg, yg, indexing="xy")
+    uv = jnp.stack([(xx + off[..., 0]) / W, (yy + off[..., 1]) / H], -1)
+    ref = bilinear_sample(img[..., None], uv)[..., 0]
+    a, b = np.asarray(out), np.asarray(ref)
+    # every interior tile's right columns must match (they were the bug)
+    assert np.abs(a - b)[8:-8, 128:448].max() < 1e-4
