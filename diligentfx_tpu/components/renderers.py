@@ -58,8 +58,10 @@ def render_env_map(env_oct_mips, camera: CameraAttribs, width: int, height: int,
 
 class BoundBoxAttribs(NamedTuple):
     """BoundBoxRenderer::RenderAttribs analogue."""
-    color: Array = jnp.array([1.0, 0.75, 0.0, 1.0])
-    pattern_length: Array = jnp.float32(16.0)  # dashed pattern in pixels
+    # plain-Python defaults: this module is lazily imported inside traced
+    # frame functions; jnp defaults created mid-trace leak tracers
+    color: tuple = (1.0, 0.75, 0.0, 1.0)
+    pattern_length: float = 16.0  # dashed pattern in pixels
     pattern_mask: int = 0xFFFFFFFF
 
 
@@ -107,7 +109,7 @@ def render_bound_box(color_buf: Array, depth_buf: Array, camera: CameraAttribs,
         arc = t * jnp.sqrt(len2)
         dash = jnp.mod(arc / attribs.pattern_length, 1.0) < 0.75
         mask = (on_line & visible & dash)[..., None]
-        out = jnp.where(mask, attribs.color[:3], out)
+        out = jnp.where(mask, jnp.asarray(attribs.color[:3]), out)
     return out
 
 
@@ -118,12 +120,12 @@ def render_bound_box(color_buf: Array, depth_buf: Array, camera: CameraAttribs,
 
 class CoordinateGridAttribs(NamedTuple):
     """CoordinateGridRenderer::Attribs analogue."""
-    grid_scale: Array = jnp.float32(1.0)
-    grid_subdivision: Array = jnp.float32(10.0)
-    thickness_px: Array = jnp.float32(1.0)
-    color_x_axis: Array = jnp.array([1.0, 0.3, 0.3])
-    color_z_axis: Array = jnp.array([0.3, 0.3, 1.0])
-    color_grid: Array = jnp.array([0.5, 0.5, 0.5])
+    grid_scale: float = 1.0
+    grid_subdivision: float = 10.0
+    thickness_px: float = 1.0
+    color_x_axis: tuple = (1.0, 0.3, 0.3)
+    color_z_axis: tuple = (0.3, 0.3, 1.0)
+    color_grid: tuple = (0.5, 0.5, 0.5)
 
 
 def render_coordinate_grid(color_buf: Array, depth_buf: Array,
@@ -165,9 +167,10 @@ def render_coordinate_grid(color_buf: Array, depth_buf: Array,
     fade = jnp.exp(-dist * 0.02)
 
     g = jnp.maximum(fine, coarse)
-    color = jnp.where(axis_x[..., None] > 0.5, attribs.color_x_axis,
-                      jnp.where(axis_z[..., None] > 0.5, attribs.color_z_axis,
-                                attribs.color_grid))
+    color = jnp.where(axis_x[..., None] > 0.5, jnp.asarray(attribs.color_x_axis),
+                      jnp.where(axis_z[..., None] > 0.5,
+                                jnp.asarray(attribs.color_z_axis),
+                                jnp.asarray(attribs.color_grid)))
     alpha = (jnp.maximum(g, jnp.maximum(axis_x, axis_z)) * fade
              * visible.astype(jnp.float32))[..., None]
     return color_buf + (color - color_buf) * alpha
@@ -181,9 +184,9 @@ def render_coordinate_grid(color_buf: Array, depth_buf: Array,
 class VectorFieldAttribs(NamedTuple):
     """VectorFieldRenderer::RenderAttribs analogue."""
     grid_size: int = 32            # static: lines per axis
-    scale: Array = jnp.float32(20.0)
-    start_color: Array = jnp.array([1.0, 0.0, 0.0])
-    end_color: Array = jnp.array([1.0, 1.0, 0.0])
+    scale: float = 20.0
+    start_color: tuple = (1.0, 0.0, 0.0)
+    end_color: tuple = (1.0, 1.0, 0.0)
 
 
 def render_vector_field(color_buf: Array, field: Array,
@@ -192,7 +195,8 @@ def render_vector_field(color_buf: Array, field: Array,
     """Draw a grid of motion-vector line segments over the frame
     (the HnPostProcessTask motion-vector debug overlay, cpp:928-943)."""
     h, w = color_buf.shape[:2]
-    n = attribs.grid_size
+    # keep the grid sparse at small resolutions (≥ 8 px between anchors)
+    n = min(attribs.grid_size, max(h // 8, 1), max(w // 8, 1))
     ys = (jnp.arange(n) + 0.5) / n * h
     xs = (jnp.arange(n) + 0.5) / n * w
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
@@ -215,7 +219,9 @@ def render_vector_field(color_buf: Array, field: Array,
         t = jnp.clip(((xg - ax) * dx + (yg - ay) * dy) / len2, 0.0, 1.0)
         d2 = (xg - (ax + t * dx)) ** 2 + (yg - (ay + t * dy)) ** 2
         mask = (d2 < 1.0)[..., None]
-        col = attribs.start_color + (attribs.end_color - attribs.start_color) * t[..., None]
+        c0 = jnp.asarray(attribs.start_color)
+        c1 = jnp.asarray(attribs.end_color)
+        col = c0 + (c1 - c0) * t[..., None]
         return jnp.where(mask, col, out), None
 
     out, _ = jax.lax.scan(body, out, segs)

@@ -321,24 +321,31 @@ def load_gltf(path: str) -> GLTFModel:
     """Load a .gltf or .glb file."""
     base_dir = os.path.dirname(os.path.abspath(path))
     with open(path, "rb") as f:
-        head = f.read(4)
-        f.seek(0)
-        if head == b"glTF":
-            magic, version, length = struct.unpack("<III", f.read(12))
-            doc = None
-            bin_chunk = b""
-            while f.tell() < length:
-                clen, ctype = struct.unpack("<II", f.read(8))
-                data = f.read(clen)
-                if ctype == 0x4E4F534A:       # JSON
-                    doc = json.loads(data.decode("utf-8"))
-                elif ctype == 0x004E4942:     # BIN
-                    bin_chunk = data
-            assert doc is not None, "GLB missing JSON chunk"
-            embedded = bin_chunk
-        else:
-            doc = json.loads(f.read().decode("utf-8"))
-            embedded = b""
+        return load_gltf_bytes(f.read(), base_dir)
+
+
+def load_gltf_bytes(data: bytes, base_dir: str = ".") -> GLTFModel:
+    """Load a .gltf/.glb document from memory (the resolver-chain path:
+    assets arrive as (bytes, canonical location), radient/resolver.py).
+    External buffer/image URIs resolve relative to `base_dir`."""
+    if data[:4] == b"glTF":
+        magic, version, length = struct.unpack("<III", data[:12])
+        doc = None
+        bin_chunk = b""
+        pos = 12
+        while pos < length:
+            clen, ctype = struct.unpack("<II", data[pos:pos + 8])
+            chunk = data[pos + 8:pos + 8 + clen]
+            pos += 8 + clen
+            if ctype == 0x4E4F534A:       # JSON
+                doc = json.loads(chunk.decode("utf-8"))
+            elif ctype == 0x004E4942:     # BIN
+                bin_chunk = chunk
+        assert doc is not None, "GLB missing JSON chunk"
+        embedded = bin_chunk
+    else:
+        doc = json.loads(data.decode("utf-8"))
+        embedded = b""
     return parse_gltf(doc, base_dir, embedded)
 
 

@@ -75,17 +75,37 @@ class HnMesh:
         self.material_id: str = ""
         self.visible = True
         self.dirty = True
+        # geometry subsets (HdGeomSubset): per-face-set material bindings
+        # (HnMesh.cpp geometry-subset draw items)
+        self.geom_subsets: list = []
+        self.tri_face: Optional[np.ndarray] = None   # (T,) original face id
 
     def set_topology(self, face_counts, face_indices) -> None:
         """Arbitrary polygons → triangles (HnMeshUtils proxy indices)."""
+        fc = np.asarray(face_counts, np.int32)
         self.indices = native.triangulate_faces(
-            np.asarray(face_counts, np.int32),
-            np.asarray(face_indices, np.int32))
+            fc, np.asarray(face_indices, np.int32))
+        # fan triangulation emits each face's triangles consecutively →
+        # the face-of-triangle map is a repeat over (count - 2)
+        self.tri_face = np.repeat(np.arange(len(fc), dtype=np.int32),
+                                  np.maximum(fc - 2, 0))
         self.dirty = True
         self._d._bump("mesh_topology")
 
     def set_triangles(self, indices) -> None:
         self.indices = np.asarray(indices, np.int32).reshape(-1, 3)
+        self.tri_face = np.arange(self.indices.shape[0], dtype=np.int32)
+        self.dirty = True
+        self._d._bump("mesh_topology")
+
+    def set_geom_subsets(self, subsets) -> None:
+        """HdGeomSubset face sets: [(material_id, face_indices), ...] — faces
+        index the ORIGINAL (pre-triangulation) faces.  Later subsets win on
+        overlap, unassigned faces keep the mesh material (HnMesh.cpp
+        geometry-subset draw-item splitting; here it is a per-triangle
+        material relabel — the mega-draw needs no draw-item split)."""
+        self.geom_subsets = [(str(mid), np.asarray(f, np.int32))
+                             for mid, f in subsets]
         self.dirty = True
         self._d._bump("mesh_topology")
 
@@ -412,7 +432,16 @@ class HnRenderDelegate:
             vnode.append(np.full(v, slot, np.int32))
             mslot = material_slot(mesh.material_id)
             nt = mesh.indices.shape[0]
-            tmat.append(np.full(nt, mslot, np.int32))
+            tm = np.full(nt, mslot, np.int32)
+            if mesh.geom_subsets and mesh.tri_face is not None:
+                # per-face-set material bindings (HdGeomSubset)
+                nf = int(mesh.tri_face.max()) + 1 if nt else 0
+                face_mat = np.full(nf, mslot, np.int32)
+                for sub_mid, faces in mesh.geom_subsets:
+                    face_mat[faces[(faces >= 0) & (faces < nf)]] = \
+                        material_slot(sub_mid)
+                tm = face_mat[mesh.tri_face]
+            tmat.append(tm)
             tds.append(np.zeros(nt, bool))
             node_m.append(mesh.transform)
             self._mesh_slots[pid] = slot

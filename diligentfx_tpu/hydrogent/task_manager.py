@@ -197,6 +197,21 @@ class HnTaskManager:
                                      or self.ci.enable_ssao) else None),
         )
 
+    def reset_taa(self, state: FrameState) -> FrameState:
+        """HnTaskManager::ResetTAA (HnTaskManager.hpp:248-252): force history
+        rejection on the next frame (camera cut / viewport resize) without
+        discarding the other temporal products."""
+        if state.taa is None:
+            return state
+        return state._replace(taa=state.taa._replace(
+            sample_count=jnp.zeros_like(state.taa.sample_count)))
+
+    def suspend_super_sampling(self, state: FrameState) -> FrameState:
+        """HnTaskManager::SuspendSuperSampling: alias of reset_taa — the
+        jitter sequence is stateless here, so dropping accumulated samples is
+        the entire suspension."""
+        return self.reset_taa(state)
+
     def execute(self, scene: ScenePrimitives, info: RenderInfo,
                 state: FrameState, *, width: int, height: int,
                 settings: FrameSettings = FrameSettings(),
@@ -362,14 +377,12 @@ def _frame_fx(begin: dict, scene, state: FrameState, ibl_maps,
     gb, info, first_frame = begin["gb"], begin["info"], begin["first_frame"]
 
     # ---- PostFXContext -------------------------------------------------------
-    closest_motion = dilate_closest_motion(gb.depth, gb.motion)
-    from diligentfx_tpu.postfx.context import (PostFXResources,
-                                               disocclusion_mask)
+    from diligentfx_tpu.postfx.context import (disocclusion_mask,
+                                               prepare_postfx_resources)
     prev_depth = state.prev_depth if state.prev_depth is not None else gb.depth
-    resources = PostFXResources(
-        camera=info.camera, prev_camera=info.camera, depth=gb.depth,
-        prev_depth=prev_depth, motion=gb.motion,
-        closest_motion=closest_motion, frame_index=state.frame_index)
+    resources = prepare_postfx_resources(
+        gb.depth, info.camera, info.camera, prev_depth, state.frame_index,
+        object_motion=gb.motion)
     # shared history-disocclusion mask (prev-depth vs reprojected depth):
     # one prev-depth tap serves SSR + SSAO + TAA
     disocclusion = None
@@ -472,10 +485,13 @@ def _frame_fx(begin: dict, scene, state: FrameState, ibl_maps,
                                       desaturation=ci.desaturation_factor)
         # pre-compensate the (post-tonemap) outline color so it survives the
         # tone map, like the reference's ReverseExpToneMap
-        # (HnPostProcessTask.cpp:844-850; Components ToneMapping host helper)
+        # (HnPostProcessTask.cpp:844-850; Components ToneMapping host helper).
+        # Clamp below 1: ReverseExp(1) is infinite, and an inf outline color
+        # NaN-floods the frame through (inf - c) * 0.
         oc = reverse_exp_tone_map(
-            jnp.array([1.0, 0.6, 0.1], jnp.float32),
+            jnp.array([0.95, 0.6, 0.1], jnp.float32),
             ave_log_lum=info.renderer_params.average_log_lum)
+        oc = jnp.minimum(oc, 20.0)
         color = selection_outline(color, selected,
                                   outline_width=ci.selection_outline_width,
                                   outline_color=oc)

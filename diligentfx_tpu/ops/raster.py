@@ -168,8 +168,14 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
 
     w = verts[..., 3]
     winv = 1.0 / jnp.maximum(w, near_eps * 0.5)
-    sx = (verts[..., 0] * winv * 0.5 + 0.5) * full_w - off_x
-    sy = (0.5 - verts[..., 1] * winv * 0.5) * full_h - off_y
+    # GLOBAL screen coordinates — the viewport offset is NOT folded into the
+    # plane setup (it would perturb every coefficient product and break
+    # bit-exactness of band-sharded rendering vs the monolithic frame, which
+    # SSR's binary march decisions then amplify).  The offset applies as an
+    # exact integer pixel shift at evaluation time (kernels) and to the bbox
+    # for binning below.
+    sx = (verts[..., 0] * winv * 0.5 + 0.5) * full_w
+    sy = (0.5 - verts[..., 1] * winv * 0.5) * full_h
     sz = verts[..., 2] * winv
 
     x0, y0 = sx[:, 0], sy[:, 0]
@@ -235,9 +241,14 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
     xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
     ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
     ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
-    on_screen = (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
+    fox = jnp.asarray(off_x, jnp.float32)
+    foy = jnp.asarray(off_y, jnp.float32)
+    on_screen = ((xmax >= fox) & (xmin < fox + width)
+                 & (ymax >= foy) & (ymin < foy + height))
     valid = valid & on_screen
-    bbox = jnp.stack([xmin, ymin, xmax, ymax], axis=-1)
+    # bbox in LOCAL viewport coords for binning (exact integer shift)
+    bbox = jnp.stack([xmin - fox, ymin - foy, xmax - fox, ymax - foy],
+                     axis=-1)
     if attrs is None:
         return setup, valid, bbox, orig
 
@@ -352,7 +363,8 @@ def _bin_triangles(valid: Array, bbox: Array, width: int, height: int,
 
 
 def _raster_tiles(setup: Array, candidates: Array, width: int, height: int,
-                  cfg: RasterizerConfig, depth_clear: float, depth_less: bool):
+                  cfg: RasterizerConfig, depth_clear: float, depth_less: bool,
+                  screen_offset=(0, 0)):
     """Scan over candidate chunks; per step rasterize K triangles into every
     tile's (th, tw) pixel block."""
     tiles_x = width // cfg.tile_w
@@ -366,10 +378,14 @@ def _raster_tiles(setup: Array, candidates: Array, width: int, height: int,
     if pad:
         candidates = jnp.pad(candidates, ((0, 0), (0, pad)), constant_values=-1)
 
-    # Pixel-center coordinates of each tile's block.
+    # Pixel-center coordinates of each tile's block, in GLOBAL screen coords
+    # (integer viewport offset added before the float convert — exact, so a
+    # band evaluates the identical f32 px/py as the monolithic frame).
+    off_x = jnp.asarray(screen_offset[0], jnp.int32)
+    off_y = jnp.asarray(screen_offset[1], jnp.int32)
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_px0 = (tile_ids % tiles_x) * tw
-    tile_py0 = (tile_ids // tiles_x) * th
+    tile_px0 = (tile_ids % tiles_x) * tw + off_x
+    tile_py0 = (tile_ids // tiles_x) * th + off_y
     ly = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
     lx = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
     px = tile_px0[:, None, None].astype(jnp.float32) + lx[None]      # (tiles, th, tw)
@@ -468,7 +484,8 @@ def rasterize(clip: Array, indices: Array, *, width: int, height: int,
         tiles_x = width // cfg.tile_w
         zt, idt, b0t, b1t = raster_tiles_pallas(
             setup, compact, counts, th=cfg.tile_h, tw=cfg.tile_w,
-            tiles_x=tiles_x, depth_less=depth_less)
+            tiles_x=tiles_x, depth_less=depth_less,
+            screen_offset=screen_offset)
         tiles_y = height // cfg.tile_h
 
         def untile(x):
@@ -478,7 +495,8 @@ def rasterize(clip: Array, indices: Array, *, width: int, height: int,
         z, tid, b0, b1 = untile(zt), untile(idt), untile(b0t), untile(b1t)
     else:
         z, tid, b0, b1 = _raster_tiles(
-            setup, candidates, width, height, cfg, float(depth_clear), depth_less)
+            setup, candidates, width, height, cfg, float(depth_clear),
+            depth_less, screen_offset=screen_offset)
     vb = VisibilityBuffer(depth=z, tri_id=tid, bary=jnp.stack([b0, b1], axis=-1))
     stats = RasterStats(
         max_bin_count=max_count,
@@ -521,9 +539,14 @@ def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
       n_ch + 2*len(deriv_channels) + K + n_mrow; vb.bary is zeros (attributes
       are already interpolated — no downstream bary use).
     """
+    import os
     from diligentfx_tpu.ops.raster_pallas import raster_tiles_fused_pallas
     if width % cfg.tile_w or height % cfg.tile_h:
         raise ValueError(f"{width}x{height} not tile-aligned")
+    # planes-table layout: gather row-major and transpose per tile in VMEM
+    # (XLA transposes of gathered tables are pathological — PERF_NOTES.md);
+    # DFX_FUSE_TK=0 reverts to the XLA-transpose prep for A/B measurement
+    tk = os.environ.get("DFX_FUSE_TK", "1") == "1"
     setup, valid, bbox, _orig, planes = _triangle_setup(
         clip, indices, width, height, double_sided, front_ccw, near_eps,
         screen_size=screen_size, screen_offset=screen_offset,
@@ -543,7 +566,9 @@ def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
                                th=cfg.tile_h, tw=cfg.tile_w, tiles_x=tiles_x,
                                n_ch=n_ch, n_const=n_const,
                                deriv_channels=deriv_channels,
-                               depth_less=depth_less, chunk=cfg.chunk)
+                               depth_less=depth_less, chunk=cfg.chunk,
+                               transpose_in_kernel=tk,
+                               screen_offset=screen_offset)
         finally:
             _pl.pallas_call = orig_call
     else:
@@ -551,7 +576,9 @@ def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
                            th=cfg.tile_h, tw=cfg.tile_w, tiles_x=tiles_x,
                            n_ch=n_ch, n_const=n_const,
                            deriv_channels=deriv_channels,
-                           depth_less=depth_less, chunk=cfg.chunk)
+                           depth_less=depth_less, chunk=cfg.chunk,
+                           transpose_in_kernel=tk,
+                           screen_offset=screen_offset)
 
     def untile(x):
         c = x.reshape(tiles_y, tiles_x, cfg.tile_h, cfg.tile_w)

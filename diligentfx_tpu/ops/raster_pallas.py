@@ -33,7 +33,7 @@ SETUP_ROWS = 16  # 9 plane coefficients + pad to an aligned row
 
 
 def _raster_tile_kernel(counts_ref,            # scalar prefetch: (num_tiles,)
-                        tiles_x_ref,           # scalar prefetch: (1,)
+                        tiles_x_ref,           # scalar prefetch: (3,) [tiles_x, off_x, off_y]
                         setup_ref,             # (1, cap, 16) VMEM gathered coeffs
                         z_ref, id_ref, b0_ref, b1_ref,  # (1, th, tw) VMEM out
                         *, th: int, tw: int, cap: int, chunk: int,
@@ -42,8 +42,10 @@ def _raster_tile_kernel(counts_ref,            # scalar prefetch: (num_tiles,)
     count = jnp.minimum(counts_ref[t], cap)
     tiles_x = tiles_x_ref[0]
 
-    x0 = ((t % tiles_x) * tw).astype(jnp.float32)
-    y0 = ((t // tiles_x) * th).astype(jnp.float32)
+    # GLOBAL pixel coords: integer viewport offset added before the float
+    # convert, so band-sharded evaluation is bit-exact vs the full frame
+    x0 = ((t % tiles_x) * tw + tiles_x_ref[1]).astype(jnp.float32)
+    y0 = ((t // tiles_x) * th + tiles_x_ref[2]).astype(jnp.float32)
     px = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + 0.5
     py = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
 
@@ -119,8 +121,8 @@ def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
     count = jnp.minimum(counts_ref[t], cap)
     tiles_x = tiles_x_ref[0]
 
-    x0 = ((t % tiles_x) * tw).astype(jnp.float32)
-    y0 = ((t // tiles_x) * th).astype(jnp.float32)
+    x0 = ((t % tiles_x) * tw + tiles_x_ref[1]).astype(jnp.float32)
+    y0 = ((t // tiles_x) * th + tiles_x_ref[2]).astype(jnp.float32)
     px = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + 0.5
     py = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
 
@@ -200,7 +202,8 @@ def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
                               n_ch: int, n_const: int,
                               deriv_channels: tuple = (),
                               depth_less: bool = True, chunk: int = 8,
-                              transpose_in_kernel: bool = False):
+                              transpose_in_kernel: bool = False,
+                              screen_offset=(0, 0)):
     """Fused visibility raster + attribute interpolation + material fetch.
 
     Args:
@@ -285,7 +288,10 @@ def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
             jax.ShapeDtypeStruct((num_tiles, th, tw), jnp.int32),
             jax.ShapeDtypeStruct((out_ch, num_tiles, th, tw), jnp.float32),
         ],
-    )(counts, jnp.array([tiles_x], jnp.int32), g_setup, g_planes, mattab)
+    )(counts, jnp.stack([jnp.int32(tiles_x),
+                         jnp.asarray(screen_offset[0], jnp.int32),
+                         jnp.asarray(screen_offset[1], jnp.int32)]),
+      g_setup, g_planes, mattab)
     return z, tid, out
 
 
@@ -293,7 +299,8 @@ def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
                                              "depth_less", "chunk"))
 def raster_tiles_pallas(setup: Array, candidates: Array, counts: Array,
                         *, th: int, tw: int, tiles_x: int,
-                        depth_less: bool = True, chunk: int = 8
+                        depth_less: bool = True, chunk: int = 8,
+                        screen_offset=(0, 0)
                         ) -> Tuple[Array, Array, Array, Array]:
     """Run the per-tile raster kernel.
 
@@ -339,5 +346,8 @@ def raster_tiles_pallas(setup: Array, candidates: Array, counts: Array,
             jax.ShapeDtypeStruct((num_tiles, th, tw), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, th, tw), jnp.float32),
         ],
-    )(counts, jnp.array([tiles_x], jnp.int32), gathered)
+    )(counts, jnp.stack([jnp.int32(tiles_x),
+                         jnp.asarray(screen_offset[0], jnp.int32),
+                         jnp.asarray(screen_offset[1], jnp.int32)]),
+      gathered)
     return z, tid, b0, b1

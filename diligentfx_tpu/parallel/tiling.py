@@ -231,7 +231,17 @@ def render_frame_banded(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
         ao = jnp.ones((band_h, width), jnp.float32)
         new_ssao = band_of(st.ssao_history)
         if enable_ssao:
-            h2 = halo // 2 * 2  # half-res halo, even
+            # Parity contract (banded == 1-band): every AO row that can
+            # influence an interior output row must see its FULL vertical tap
+            # extent inside the extended array.  Influence chain: upsample
+            # reads ±1 half row, bilateral blur reads ±3, GTAO taps read
+            # ±tap_v with +1 for the bilinear floor.  So the half-res halo
+            # must satisfy h2 >= 1 + 3 + tap_v + 1; h2 is the SAME for every
+            # band count (min over band height caps it only on tiny bands).
+            band2 = band_h // 2
+            blur_r = 3
+            h2 = min(12, band2)
+            tap_v = float(max(h2 - (blur_r + 2), 1))
             d2 = gb.depth[::2, ::2]
             n2 = gb.normal_view[::2, ::2]
             d2x = _edge_clamped_halo(d2, h2, axis_name)
@@ -241,10 +251,16 @@ def render_frame_banded(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
                 d2x, n2x, info_.camera, st.frame_index,
                 num_slices=ssao_num_slices, num_steps=ssao_num_steps,
                 row0=row0_half, full_h=height // 2,
-                max_tap_px=(63.0, float(h2 - 1)))
-            ao_x = fx_ssao.bilateral_blur(ao_x, d2x, info_.camera)
-            ao2 = ao_x[h2:-h2]
-            ao = jax.image.resize(ao2, (band_h, width), method="bilinear")
+                max_tap_px=(63.0, tap_v), use_mips=False)
+            ao_x = fx_ssao.bilateral_blur(ao_x, d2x, info_.camera,
+                                          radius=blur_r)
+            # upsample WITH one half-res halo row so the 2x bilinear resize
+            # (which samples input row i/2 - 0.25) never clamps at interior
+            # band edges; crop the 2 full-res halo rows after
+            ao2e = ao_x[h2 - 1: h2 + band2 + 1]
+            ao_e = jax.image.resize(ao2e, (band_h + 4, width),
+                                    method="bilinear")
+            ao = ao_e[2:band_h + 2]
             if st.ssao_history is not None:
                 hist = st.ssao_history
                 acc = jnp.zeros_like(ao); acc2 = jnp.zeros_like(ao)

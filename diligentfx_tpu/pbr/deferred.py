@@ -81,11 +81,14 @@ def _vertex_inputs(scene: ScenePrimitives, info: RenderInfo,
     prev_vp = (info.prev_view_proj if info.prev_view_proj is not None
                else info.camera.view_proj)
     prev_clip = m3.transform_points(prev_world, prev_vp)
-    prev_w = jnp.where(jnp.abs(prev_clip[:, 3]) > 1e-9, prev_clip[:, 3], 1e-9)
-    prev_ndc = prev_clip[:, :2] / prev_w[:, None]
-    prev_uv_v = jnp.stack([prev_ndc[:, 0] * 0.5 + 0.5,
-                           0.5 - prev_ndc[:, 1] * 0.5], axis=-1)
-    attrs_list = [world_pos, world_nrm, prev_uv_v]
+    # interpolate prev CLIP components (x, y, w) and divide per PIXEL:
+    # dividing per vertex breaks for triangles crossing the previous near
+    # plane (a big ground plane behind the camera produced multi-screen
+    # bogus motion vectors); clip components are linear in object space so
+    # perspective-correct interpolation of them is exact
+    prev_cxyw = jnp.stack([prev_clip[:, 0], prev_clip[:, 1],
+                           prev_clip[:, 3]], axis=-1)
+    attrs_list = [world_pos, world_nrm, prev_cxyw]
     if use_textures:
         # transform tangents like normals (rigid/uniform assumption)
         vm3 = scene.node_matrices[scene.vertex_node][:, :3, :3]
@@ -149,6 +152,10 @@ def _fuse_ok(scene: ScenePrimitives, fuse: str, use_textures: bool) -> bool:
     no alpha-mask tail (its resolve rewrites winners after raster), and
     tangents available when anisotropy needs them (they ride the textured
     attr packing)."""
+    import os
+    env = os.environ.get("DFX_FUSE", "")       # A/B perf override
+    if env in ("on", "off"):
+        fuse = env
     if fuse == "off":
         return False
     if fuse == "on":
@@ -169,8 +176,8 @@ def _fused_raster(scene: ScenePrimitives, info: RenderInfo, n_op: int, *,
     consts = jnp.stack([scene.tri_material[:n_op].astype(jnp.float32),
                         tri_node.astype(jnp.float32)], axis=-1)
     mat_tableT = _material_table(scene.materials).T         # (20, M)
-    # uv channels are 8,9 in the textured packing (pos3+nrm3+prevuv2 first)
-    deriv = (8, 9) if use_textures else ()
+    # uv channels are 9,10 in the textured packing (pos3+nrm3+prevclip3)
+    deriv = (9, 10) if use_textures else ()
     vb, out, _stats = rz.rasterize_fused(
         clip, scene.indices[:n_op], packed, winv, consts, mat_tableT,
         width=pad_w, height=pad_h, cfg=cfg, n_ch=n_ch,
@@ -211,7 +218,7 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
             fused_px = jax.lax.dynamic_slice(
                 fused_px, (r0, 0, 0), (band_h, pad_w, fused_px.shape[-1]))
 
-    n_ch = 14 if use_textures else 8
+    n_ch = 15 if use_textures else 9
     duv_dx = duv_dy = None
     if fused_px is not None:
         # the kernel evaluates planes for every pixel; mask misses like
@@ -243,11 +250,15 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
 
     pos_px = interp[..., 0:3]
     nrm_px = m3.normalize(interp[..., 3:6])
-    prev_uv_px = interp[..., 6:8]
+    pw = interp[..., 8:9]
+    pw = jnp.where(jnp.abs(pw) > 1e-9, pw, 1e-9)
+    prev_ndc_px = interp[..., 6:8] / pw
+    prev_uv_px = jnp.stack([prev_ndc_px[..., 0] * 0.5 + 0.5,
+                            0.5 - prev_ndc_px[..., 1] * 0.5], axis=-1)
     if use_textures:
-        uv_px = interp[..., 8:10]
-        tan_px = interp[..., 10:13]
-        tan_sign = interp[..., 13:14]
+        uv_px = interp[..., 9:11]
+        tan_px = interp[..., 11:14]
+        tan_sign = interp[..., 14:15]
 
     hit = vb.tri_id >= 0
     xg = (jax.lax.broadcasted_iota(jnp.float32, (band_h, pad_w), 1) + 0.5) / pad_w

@@ -286,13 +286,14 @@ class PBRRenderer:
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "cfg", "use_ibl", "use_lights", "debug_view",
     "tone_mapping_mode", "convert_output_to_srgb", "shadow_mode",
-    "pcf_kernel_size"))
+    "pcf_kernel_size", "fuse"))
 def _render_frame(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                   *, width: int, height: int, cfg: RasterizerConfig,
                   use_ibl: bool, use_lights: bool, debug_view: DebugViewType,
                   tone_mapping_mode: ToneMappingMode,
                   convert_output_to_srgb: bool,
-                  shadow_mode=None, pcf_kernel_size: int = 3) -> Array:
+                  shadow_mode=None, pcf_kernel_size: int = 3,
+                  fuse: str = "auto") -> Array:
     pad_w, pad_h = rz.pad_viewport(width, height, cfg)
 
     # ---- vertex stage -------------------------------------------------------
@@ -302,30 +303,50 @@ def _render_frame(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     # ---- rasterize (opaque prefix; ALPHA_MODE_MASK tail resolves after) -----
     n_op = scene.indices.shape[0] - (
         scene.mask_indices.shape[0] if scene.mask_indices is not None else 0)
-    vb, _stats = rz.rasterize(clip, scene.indices[:n_op],
-                              width=pad_w, height=pad_h, cfg=cfg,
-                              double_sided=scene.tri_double_sided[:n_op])
-
-    # ---- interpolate G-buffer inputs (single fused gather) ------------------
     winv = jnp.where(jnp.abs(clip[:, 3]) > 1e-12, 1.0 / clip[:, 3], 0.0)
-    if scene.mask_indices is not None:
-        from diligentfx_tpu.pbr.oit import resolve_alpha_mask
-        vb = resolve_alpha_mask(vb, clip, scene, winv,
-                                width=pad_w, height=pad_h, cfg=cfg)
     packed_attrs = jnp.concatenate([world_pos, world_nrm], axis=-1)
-    interp = rz.interpolate_all(vb, scene.indices, packed_attrs, winv)
+    fused_ok = (fuse == "on" or (fuse == "auto"
+                                 and jax.default_backend() == "tpu"
+                                 and scene.mask_indices is None))
+    if fused_ok:
+        # fused raster + interpolation + material fetch (one Pallas kernel;
+        # kills the per-pixel attribute/material gathers — PERF_NOTES.md)
+        from diligentfx_tpu.pbr.deferred import _material_table
+        consts = scene.tri_material[:n_op].astype(jnp.float32)[:, None]
+        vb, fused_px, _stats = rz.rasterize_fused(
+            clip, scene.indices[:n_op], packed_attrs, winv, consts,
+            _material_table(scene.materials).T,
+            width=pad_w, height=pad_h, cfg=cfg, n_ch=6,
+            double_sided=scene.tri_double_sided[:n_op])
+        hit = vb.tri_id >= 0
+        fused_px = jnp.where(hit[..., None], fused_px, 0.0)
+        interp = fused_px[..., :6]
+        mrow = fused_px[..., 7:]                     # after the 1 const
+        base_color = mrow[..., 0:3]
+        emissive = mrow[..., 4:7]
+        metallic = mrow[..., 7:8]
+        roughness = mrow[..., 8:9]
+    else:
+        vb, _stats = rz.rasterize(clip, scene.indices[:n_op],
+                                  width=pad_w, height=pad_h, cfg=cfg,
+                                  double_sided=scene.tri_double_sided[:n_op])
+        if scene.mask_indices is not None:
+            from diligentfx_tpu.pbr.oit import resolve_alpha_mask
+            vb = resolve_alpha_mask(vb, clip, scene, winv,
+                                    width=pad_w, height=pad_h, cfg=cfg)
+        # ---- interpolate G-buffer inputs (single fused gather) --------------
+        interp = rz.interpolate_all(vb, scene.indices, packed_attrs, winv)
+        hit = vb.tri_id >= 0
+        # ---- per-pixel material ---------------------------------------------
+        tid = jnp.maximum(vb.tri_id, 0)
+        mat_id = scene.tri_material[tid]                        # (H, W)
+        mats = scene.materials
+        base_color = mats.base_color_factor[mat_id][..., :3]    # (H, W, 3)
+        metallic = mats.metallic_factor[mat_id][..., None]
+        roughness = mats.roughness_factor[mat_id][..., None]
+        emissive = mats.emissive_factor[mat_id]
     pos_px = interp[..., 0:3]
     nrm_px = m3.normalize(interp[..., 3:6])
-    hit = vb.tri_id >= 0
-
-    # ---- per-pixel material -------------------------------------------------
-    tid = jnp.maximum(vb.tri_id, 0)
-    mat_id = scene.tri_material[tid]                            # (H, W)
-    mats = scene.materials
-    base_color = mats.base_color_factor[mat_id][..., :3]        # (H, W, 3)
-    metallic = mats.metallic_factor[mat_id][..., None]
-    roughness = mats.roughness_factor[mat_id][..., None]
-    emissive = mats.emissive_factor[mat_id]
     occlusion = jnp.ones_like(metallic)
 
     # ---- shading ------------------------------------------------------------

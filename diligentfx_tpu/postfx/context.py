@@ -49,12 +49,17 @@ class PostFXResources(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def interleaved_gradient_noise(height: int, width: int, frame_index) -> Array:
+def interleaved_gradient_noise(height: int, width: int, frame_index,
+                               row0=0) -> Array:
     """Jimenez interleaved gradient noise, temporally scrambled — the role of
     the blue-noise texture pair (PostFXContext RESOURCE_IDENTIFIER_BLUE_NOISE,
-    hpp:198-201) without any texture."""
+    hpp:198-201) without any texture.
+
+    row0: global row of local row 0, so sp-sharded bands evaluate the SAME
+    noise value for the same global pixel as the monolithic frame."""
     x = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
-    y = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    y = (jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+         + jnp.asarray(row0, jnp.float32))
     f = jnp.asarray(frame_index, jnp.float32)
     # golden-ratio temporal offset
     x = x + 5.588238 * jnp.mod(f, 64.0)

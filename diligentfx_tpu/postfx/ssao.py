@@ -104,7 +104,8 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                  num_slices: int = 3, num_steps: int = 6,
                  use_pallas: bool = False,
                  row0=0, full_h: int = 0,
-                 max_tap_px: Optional[Tuple[float, float]] = None) -> Array:
+                 max_tap_px: Optional[Tuple[float, float]] = None,
+                 use_mips: bool = True) -> Array:
     """GTAO horizon-slice integral (the SSAO ComputeAO pass).
 
     depth: (H, W) NDC depth; normal_vs: (H, W, 3) view-space normal.
@@ -119,7 +120,8 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
     view_z = -pos[..., 2]
     v = normalize(-pos)                                      # to camera
 
-    noise = interleaved_gradient_noise(h, w, frame_index)
+    # noise keyed on GLOBAL rows → bands evaluate the monolithic pattern
+    noise = interleaved_gradient_noise(h, w, frame_index, row0=row0)
 
     # screen-space radius: project world radius at this depth
     radius = settings.effect_radius * settings.radius_multiplier
@@ -138,7 +140,8 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
     # MIP ladder — the SPMD analogue of XeGTAO's per-tap lod; the step
     # distance grows as t², so the outer third of steps covers most of the
     # radius and reads the coarsest mip)
-    depth_pyr = build_avg_depth_pyramid(depth, 3)
+    depth_pyr = (build_avg_depth_pyramid(depth, 3)
+                 if (use_mips and not use_pallas) else [depth])
 
     visibility = jnp.zeros((h, w), jnp.float32)
 
@@ -173,7 +176,12 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                 # near third → mip0, middle → mip1, far → mip2 (the SPMD
                 # analogue of XeGTAO's per-tap lod; the Pallas warp path
                 # keeps mip0 — its fixed halo already bounds far taps)
-                mip = (0 if use_pallas
+                # banded callers pass use_mips=False: the mip taps sample a
+                # band-LOCAL pyramid whose cell alignment and uv mapping
+                # cannot match the monolithic pyramid inside an exchangeable
+                # halo, so bands tap mip0 only (same contract as the Pallas
+                # warp path's fixed halo)
+                mip = (0 if (use_pallas or not use_mips)
                        else min((3 * step) // max(num_steps, 1),
                                 len(depth_pyr) - 1))
                 off = dir_px * (sgn * t * radius_px)[..., None]

@@ -89,7 +89,12 @@ class AssetManager:
     """Thread-pooled async loading with dedup + deferred device commit."""
 
     def __init__(self, num_threads: int = 2,
-                 upload_budget_bytes: int = 64 << 20):
+                 upload_budget_bytes: int = 64 << 20,
+                 resolver_chain=None):
+        from diligentfx_tpu.radient.resolver import AssetResolverChain
+        # URI → (bytes, canonical location); the canonical location is the
+        # dedup identity (RadientFilesystemAssetResolver.cpp contract)
+        self.resolver = resolver_chain or AssetResolverChain()
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
         self._lock = threading.Lock()
         self._next = 1
@@ -119,6 +124,10 @@ class AssetManager:
         ('CreateMeshDeduplicatesIdenticalRawData', RadientSceneTest.cpp:387)."""
         if self._stopped:
             raise RadientError(RadientStatus.FAILED, "asset manager stopped")
+        from diligentfx_tpu.radient.validation import validate_mesh_inputs
+        err = validate_mesh_inputs(positions, indices, normals, uvs, tangents)
+        if err is not None:
+            raise RadientError(RadientStatus.INVALID_ARGUMENT, err)
         positions = np.asarray(positions, np.float32)
         indices = np.asarray(indices, np.int32)
         key = _content_hash(positions, indices,
@@ -174,9 +183,22 @@ class AssetManager:
         release-callback fixtures, RadientSceneTest.cpp:70-84)."""
         if self._stopped:
             raise RadientError(RadientStatus.FAILED, "asset manager stopped")
-        # dedup key known up front: content hash for payloads, path for files
-        key = (("path:" + source).encode() if isinstance(source, str)
-               else _content_hash(np.asarray(source)))
+        from diligentfx_tpu.radient.validation import validate_texture_load
+        err = validate_texture_load(source)
+        if err is not None:
+            raise RadientError(RadientStatus.INVALID_ARGUMENT, err)
+        # dedup key known up front: content hash for payloads, CANONICAL
+        # location for URIs (so "a.png" and its absolute path dedup together)
+        resolved = None
+        if isinstance(source, str):
+            # unresolvable sources keep the graceful contract: a handle whose
+            # status goes FAILED (IO errors are async state, not exceptions —
+            # only malformed ARGUMENTS raise, RadientAssetValidation.cpp)
+            resolved = self.resolver.resolve(source)
+            key = (("loc:" + resolved.location).encode()
+                   if resolved is not None else ("uri:" + source).encode())
+        else:
+            key = _content_hash(np.asarray(source))
         with self._lock:
             if key in self._tex_dedup:
                 self.stats.dedup_hits += 1
@@ -196,8 +218,10 @@ class AssetManager:
             asset.status = LoadStatus.LOADING
             try:
                 if isinstance(source, str):
-                    from diligentfx_tpu.utils.image import read_png
-                    img = read_png(source)
+                    if resolved is None:
+                        raise FileNotFoundError(source)
+                    from diligentfx_tpu.utils.image import decode_png
+                    img = decode_png(resolved.data)
                 else:
                     img = np.asarray(source)
                 asset.image = img

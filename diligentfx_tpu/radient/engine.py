@@ -102,10 +102,22 @@ class RadientSceneImporter:
         self._state = state
 
     def import_gltf(self, path: str) -> RadientStatus:
+        import os
         from diligentfx_tpu.attribs import PBRMaterialBasicAttribs
-        from diligentfx_tpu.gltf.loader import load_gltf
+        from diligentfx_tpu.gltf.loader import load_gltf_bytes
+        from diligentfx_tpu.radient.validation import validate_scene_load
         am = self._engine.asset_manager
-        model = load_gltf(path)
+        err = validate_scene_load(path)
+        if err is not None:
+            return RadientStatus.INVALID_ARGUMENT
+        # URI → bytes through the resolver chain (filesystem roots, mem://,
+        # file:// — RadientFilesystemAssetResolver.cpp analogue)
+        found = am.resolver.resolve(path)
+        if found is None:
+            return RadientStatus.NOT_FOUND
+        base = (os.path.dirname(found.location)
+                if os.path.isfile(found.location) else ".")
+        model = load_gltf_bytes(found.data, base)
 
         mat_handles = []
         for m in model.materials or []:

@@ -34,6 +34,12 @@ def read_png(path: str) -> np.ndarray:
     """Minimal PNG reader for files written by write_png (8-bit, no interlace)."""
     with open(path, "rb") as f:
         data = f.read()
+    return decode_png(data)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an in-memory PNG (the resolver-chain path: assets arrive as
+    bytes with a canonical location, radient/resolver.py)."""
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
     pos = 8
     idat = b""

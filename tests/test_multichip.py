@@ -63,9 +63,10 @@ def test_banded_matches_single_device(setup):
                                    width=W, height=H, cfg=CFG)
     a, b = np.asarray(banded), np.asarray(single)
     assert np.isfinite(a).all()
-    # band-offset arithmetic reassociates screen coords → tiny fp deltas
-    mismatch = np.abs(a - b).max()
-    assert mismatch < 1e-3, mismatch
+    # plane setup is in GLOBAL screen coords and the band offset applies as
+    # an exact integer pixel shift in the kernels → bands are BIT-exact
+    # (PERF_NOTES.md round-2 lesson)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_halo_exchange_bands():

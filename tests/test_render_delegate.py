@@ -215,3 +215,30 @@ def test_transform_only_commit_is_incremental():
     xs_b = np.where(ids_before == 0)[1]
     xs_a = np.where(ids_after == 0)[1]
     assert xs_a.mean() > xs_b.mean() + 5     # visibly moved right
+
+
+def test_geometry_subsets_bind_per_face_materials():
+    """HdGeomSubset face sets relabel per-triangle materials (HnMesh.cpp
+    geometry subsets); unassigned faces keep the mesh material, later
+    subsets win on overlap."""
+    d = make_delegate()
+    for name, color in (("/m/a", (1, 0, 0)), ("/m/b", (0, 1, 0)),
+                        ("/m/c", (0, 0, 1))):
+        d.create_sprim("material", name).set_network(
+            {"surface": {"diffuseColor": color}})
+    mesh = d.create_rprim("mesh", "/World/subsets")
+    mesh.set_points([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                     [2, 0, 0], [3, 0, 0], [3, 1, 0]])
+    # 2 quads + 1 triangle = faces 0,1,2 → tris (0,1), (2,3), (4)
+    mesh.set_topology([4, 4, 3], [0, 1, 2, 3, 3, 2, 4, 5, 4, 5, 6])
+    assert mesh.indices.shape == (5, 3)
+    np.testing.assert_array_equal(mesh.tri_face, [0, 0, 1, 1, 2])
+    mesh.set_material("/m/a")
+    mesh.set_geom_subsets([("/m/b", [1]), ("/m/c", [2]), ("/m/b", [2])])
+    scene = d.commit_resources()
+    tm = np.asarray(scene.tri_material)
+    slots = {m: i for i, m in enumerate(["a", "b", "c"])}
+    # face 0 → mesh material a; face 1 → b; face 2 → b (later subset wins)
+    a, b = tm[0], tm[2]
+    assert tm[0] == tm[1] and tm[2] == tm[3] == tm[4]
+    assert a != b

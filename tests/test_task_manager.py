@@ -176,20 +176,28 @@ def test_execute_split_banded_matches(setup):
 
 def test_all_35_debug_views(setup):
     """Every DebugViewType value renders finite output (HN_VIEW_MODE table,
-    PBR_Renderer.hpp:401-439)."""
+    PBR_Renderer.hpp:401-439).  One full-pipeline compile (view IRIDESCENCE,
+    exercising the emit_debug G-buffer payload end to end); the remaining 33
+    views evaluate _debug_aov directly on that G-buffer — same code path the
+    pipeline dispatches to, without 33 recompiles."""
     from diligentfx_tpu.config import DebugViewType
+    from diligentfx_tpu.hydrogent.task_manager import _debug_aov
     renderer, scene, info = setup
+    tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=False, enable_ssr=False, enable_taa=False,
+        enable_bloom=False, view_mode=DebugViewType.IRIDESCENCE))
+    out = tm.execute(scene, info, tm.initial_state(W, H), width=W, height=H)
+    a = np.asarray(out.color)
+    assert np.isfinite(a).all() and a.shape == (H, W, 3)
+    gb = out.gbuffer
+    assert gb.debug is not None and len(gb.debug) >= 20
+    ao = jnp.ones_like(gb.depth)
     for view in DebugViewType:
         if view == DebugViewType.NONE:
             continue
-        tm = HnTaskManager(renderer, TaskManagerCreateInfo(
-            enable_ssao=False, enable_ssr=False, enable_taa=False,
-            enable_bloom=False, view_mode=view))
-        state = tm.initial_state(W, H)
-        out = tm.execute(scene, info, state, width=W, height=H)
-        a = np.asarray(out.color)
-        assert np.isfinite(a).all(), view.name
-        assert a.shape == (H, W, 3), view.name
+        img = np.asarray(_debug_aov(view, gb, ao))
+        assert np.isfinite(img).all(), view.name
+        assert img.shape == (H, W, 3), view.name
 
 
 def test_selection_grid_boundbox_vector_field_tasks(setup):
@@ -225,3 +233,20 @@ def test_selection_grid_boundbox_vector_field_tasks(setup):
     # selection desaturation: unselected ground pixels lost saturation
     sel_mask = np.asarray(out.gbuffer.mesh_id) == 0
     assert sel_mask.any()
+
+
+def test_reset_taa_forces_history_rejection(setup):
+    """HnTaskManager::ResetTAA zeroes the accumulated sample counts so the
+    next frame's blend alpha is 1 (full current frame)."""
+    renderer, scene, info = setup
+    tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=False, enable_ssr=False, enable_taa=True,
+        enable_bloom=False))
+    state = tm.initial_state(W, H)
+    out = tm.execute(scene, info, state, width=W, height=H)
+    assert float(np.asarray(out.state.taa.sample_count).max()) >= 1.0
+    reset = tm.reset_taa(out.state)
+    assert float(np.asarray(reset.taa.sample_count).max()) == 0.0
+    # other temporal products survive
+    assert reset.prev_depth is out.state.prev_depth
+    assert tm.suspend_super_sampling(out.state).taa.sample_count.sum() == 0
