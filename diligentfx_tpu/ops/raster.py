@@ -535,9 +535,12 @@ def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
         tri_consts[:, 0] == material id.
       deriv_channels: channel indices whose d/dx, d/dy are also emitted
         (between the channels and the constants in the output).
-    Returns (vb, out (H, W, OUT_CH), stats) with OUT_CH =
+    Returns (vb, out (OUT_CH, H, W) channel-FIRST, stats) with OUT_CH =
       n_ch + 2*len(deriv_channels) + K + n_mrow; vb.bary is zeros (attributes
-      are already interpolated — no downstream bary use).
+      are already interpolated — no downstream bary use).  Channel-first is
+      deliberate: the kernel writes final (C, H, W) images directly and
+      consumers stack the few channels they need — a channel-LAST output
+      forced a multi-second XLA relayout (PERF_NOTES.md).
     """
     import os
     from diligentfx_tpu.ops.raster_pallas import raster_tiles_fused_pallas
@@ -580,17 +583,8 @@ def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
                            transpose_in_kernel=tk,
                            screen_offset=screen_offset)
 
-    def untile(x):
-        c = x.reshape(tiles_y, tiles_x, cfg.tile_h, cfg.tile_w)
-        return c.transpose(0, 2, 1, 3).reshape(height, width)
-
-    z, tid = untile(zt), untile(idt)
-    # channel-major kernel output: batch the cheap 4D untile over channels,
-    # then stack to (H, W, C) (the tile-major 5D transpose was pathological)
-    out_ch = outt.shape[0]
-    outc = (outt.reshape(out_ch, tiles_y, tiles_x, cfg.tile_h, cfg.tile_w)
-            .transpose(0, 1, 3, 2, 4).reshape(out_ch, height, width))
-    out = jnp.moveaxis(outc, 0, -1)
+    # kernel outputs are already final (H, W) / (C, H, W) images
+    z, tid, out = zt, idt, outt
     vb = VisibilityBuffer(depth=z, tri_id=tid,
                           bary=jnp.zeros((height, width, 2), jnp.float32))
     stats = RasterStats(max_bin_count=max_count, bin_overflow=overflow,

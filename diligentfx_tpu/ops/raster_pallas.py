@@ -126,8 +126,8 @@ def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
     px = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + 0.5
     py = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
 
-    z_ref[0] = jnp.full((th, tw), depth_clear, jnp.float32)
-    id_ref[0] = jnp.full((th, tw), -1, jnp.int32)
+    z_ref[...] = jnp.full((th, tw), depth_clear, jnp.float32)
+    id_ref[...] = jnp.full((th, tw), -1, jnp.int32)
     slot_scr[...] = jnp.zeros((th, tw), jnp.int32)
 
     def body(i, _):
@@ -145,11 +145,11 @@ def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
 
         for k in range(chunk):
             idx = base + k
-            zb = z_ref[0]
+            zb = z_ref[...]
             take = cover[k] & (depth_sign * z[k] < depth_sign * zb) & (idx < count)
             tri = s[k, 15].astype(jnp.int32)
-            z_ref[0] = jnp.where(take, z[k], zb)
-            id_ref[0] = jnp.where(take, tri, id_ref[0])
+            z_ref[...] = jnp.where(take, z[k], zb)
+            id_ref[...] = jnp.where(take, tri, id_ref[...])
             slot_scr[...] = jnp.where(take, idx, slot_scr[...])
         return 0
 
@@ -190,7 +190,7 @@ def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
         for r in range(n_mrow):
             outs.append(_gather_table_cols(mattab_ref, r, mid, m_pad, th, tw))
     for i, o in enumerate(outs):
-        out_ref[i, 0] = o
+        out_ref[i] = o
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -213,9 +213,10 @@ def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
       candidates/counts: compact per-tile lists (raster._bin_triangles).
       mat_table: optional (n_mrow, M) material table transposed; const 0 must
         then be the per-triangle material id.
-    Returns (z (tiles,th,tw) f32, id (tiles,th,tw) i32,
-             out (tiles, OUT_CH, th, tw) f32) with OUT_CH =
-             n_ch + 2*len(deriv_channels) + n_const + n_mrow.
+    Returns (z (H, W) f32, id (H, W) i32, out (OUT_CH, H, W) f32) with
+    OUT_CH = n_ch + 2*len(deriv_channels) + n_const + n_mrow and
+    H = (num_tiles // tiles_x) * th, W = tiles_x * tw — the kernel writes
+    final image layouts directly (channel-FIRST for the channels).
     """
     num_tiles, cap = candidates.shape
     if setup.shape[1] < SETUP_ROWS:
@@ -267,26 +268,29 @@ def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0),
+            # write each tile straight into its (row-block, col-block) slot
+            # of the FINAL (H, W) / (C, H, W) images — no XLA untile exists
+            # (the (C, tiles, th, tw) layout cost a measured 6.5 s relayout
+            # at 1080p, PERF_NOTES.md)
+            pl.BlockSpec((th, tw), lambda i, *_: (i // tiles_x, i % tiles_x),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((th, tw), lambda i, *_: (i // tiles_x, i % tiles_x),
                          memory_space=pltpu.VMEM),
-            # CHANNEL-major output (out_ch, tiles, th, tw): per-channel
-            # untiling then uses the same cheap 4D pattern as z/id — the
-            # tile-major (tiles, C, th, tw) layout forced a pathological 5D
-            # relayout in XLA (measured seconds at 1080p)
-            pl.BlockSpec((out_ch, 1, th, tw), lambda i, *_: (0, i, 0, 0),
+            pl.BlockSpec((out_ch, th, tw),
+                         lambda i, *_: (0, i // tiles_x, i % tiles_x),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32)],
     )
+    tiles_y = num_tiles // tiles_x
     z, tid, out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, th, tw), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, th, tw), jnp.int32),
-            jax.ShapeDtypeStruct((out_ch, num_tiles, th, tw), jnp.float32),
+            jax.ShapeDtypeStruct((tiles_y * th, tiles_x * tw), jnp.float32),
+            jax.ShapeDtypeStruct((tiles_y * th, tiles_x * tw), jnp.int32),
+            jax.ShapeDtypeStruct((out_ch, tiles_y * th, tiles_x * tw),
+                                 jnp.float32),
         ],
     )(counts, jnp.stack([jnp.int32(tiles_x),
                          jnp.asarray(screen_offset[0], jnp.int32),

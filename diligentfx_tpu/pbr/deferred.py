@@ -170,7 +170,8 @@ def _fused_raster(scene: ScenePrimitives, info: RenderInfo, n_op: int, *,
                   use_textures: bool, screen_size=None,
                   screen_offset=(0, 0)):
     """Raster + in-kernel attribute interpolation + material fetch
-    (rasterize_fused).  Returns (vb, fused pixel channels, clip, winv)."""
+    (rasterize_fused).  Returns (vb, fused channels (C, H, W) channel-FIRST,
+    clip, winv)."""
     clip, winv, packed, n_ch = _vertex_inputs(scene, info, use_textures)
     tri_node = scene.vertex_node[scene.indices[:n_op, 0]]
     consts = jnp.stack([scene.tri_material[:n_op].astype(jnp.float32),
@@ -205,8 +206,8 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     (no viewport crop).
 
     fused_px: when the fused raster ran (_fused_raster), the per-pixel
-    [attrs, uv-derivs, mat/node id, material row] channels — all the
-    per-pixel gathers below are then skipped."""
+    [attrs, uv-derivs, mat/node id, material row] channels as a channel-FIRST
+    (C, H, W) array — all the per-pixel gathers below are then skipped."""
     r0 = jnp.asarray(row0, jnp.int32)
     if band_h != pad_h and not vb_local:
         vb = rz.VisibilityBuffer(
@@ -216,23 +217,36 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                                        (band_h, pad_w, 2)))
         if fused_px is not None:
             fused_px = jax.lax.dynamic_slice(
-                fused_px, (r0, 0, 0), (band_h, pad_w, fused_px.shape[-1]))
+                fused_px, (0, r0, 0), (fused_px.shape[0], band_h, pad_w))
 
     n_ch = 15 if use_textures else 9
     duv_dx = duv_dy = None
     if fused_px is not None:
-        # the kernel evaluates planes for every pixel; mask misses like
-        # interpolate_all does (slot-0 garbage would leak into world_pos)
-        fused_px = jnp.where((vb.tri_id >= 0)[..., None], fused_px, 0.0)
-        interp = fused_px[..., :n_ch]
+        # fused_px is channel-FIRST (C, band_h, pad_w) — the kernel writes
+        # that layout directly (channel-last forced a multi-second XLA
+        # relayout, PERF_NOTES.md).  Stack only the small channel groups the
+        # shading needs, masking misses like interpolate_all does (slot-0
+        # garbage would leak into world_pos).
+        hit_m = (vb.tri_id >= 0)[..., None]
+
+        def grp(a, b):
+            g = jnp.stack([fused_px[c] for c in range(a, b)], axis=-1)
+            return jnp.where(hit_m, g, 0.0)
+
+        interp = None                      # channel-last view unused
         o = n_ch
         if use_textures:
-            duv_dx = fused_px[..., o:o + 2]
-            duv_dy = fused_px[..., o + 2:o + 4]
+            duv_dx = grp(o, o + 2)
+            duv_dy = grp(o + 2, o + 4)
             o += 4
-        mat_id = fused_px[..., o].astype(jnp.int32)
-        node_id = fused_px[..., o + 1].astype(jnp.int32)
-        mrow = fused_px[..., o + 2:]       # the full material-table row
+        mat_id = fused_px[o].astype(jnp.int32)
+        mat_id = jnp.where(hit_m[..., 0], mat_id, 0)
+        node_id = fused_px[o + 1].astype(jnp.int32)
+        node_id = jnp.where(hit_m[..., 0], node_id, 0)
+        m0 = o + 2                         # material-table row channels
+
+        def mgrp(a, b):                    # mrow[..., a:b]
+            return grp(m0 + a, m0 + b)
     else:
         _, _, packed, _ = _vertex_inputs(scene, info, use_textures)
         interp = rz.interpolate_all(vb, scene.indices, packed, winv)
@@ -248,17 +262,23 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         node_id = packed_px >> 16
         mrow = _material_table(scene.materials)[mat_id]   # (H, W, 20)
 
-    pos_px = interp[..., 0:3]
-    nrm_px = m3.normalize(interp[..., 3:6])
-    pw = interp[..., 8:9]
+        def grp(a, b):
+            return interp[..., a:b]
+
+        def mgrp(a, b):
+            return mrow[..., a:b]
+
+    pos_px = grp(0, 3)
+    nrm_px = m3.normalize(grp(3, 6))
+    pw = grp(8, 9)
     pw = jnp.where(jnp.abs(pw) > 1e-9, pw, 1e-9)
-    prev_ndc_px = interp[..., 6:8] / pw
+    prev_ndc_px = grp(6, 8) / pw
     prev_uv_px = jnp.stack([prev_ndc_px[..., 0] * 0.5 + 0.5,
                             0.5 - prev_ndc_px[..., 1] * 0.5], axis=-1)
     if use_textures:
-        uv_px = interp[..., 9:11]
-        tan_px = interp[..., 11:14]
-        tan_sign = interp[..., 14:15]
+        uv_px = grp(9, 11)
+        tan_px = grp(11, 14)
+        tan_sign = grp(14, 15)
 
     hit = vb.tri_id >= 0
     xg = (jax.lax.broadcasted_iota(jnp.float32, (band_h, pad_w), 1) + 0.5) / pad_w
@@ -267,10 +287,10 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     cur_uv = jnp.stack([xg, yg], axis=-1)
     motion = jnp.where(hit[..., None], cur_uv - prev_uv_px, 0.0)
 
-    base_color = mrow[..., 0:3]
-    emissive = mrow[..., 4:7]
-    metallic = mrow[..., 7:8]
-    roughness = mrow[..., 8:9]
+    base_color = mgrp(0, 3)
+    emissive = mgrp(4, 7)
+    metallic = mgrp(7, 8)
+    roughness = mgrp(8, 9)
     occlusion = jnp.ones_like(metallic)
 
     if use_textures and atlas is not None:
@@ -311,7 +331,7 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         # tangent-space normal perturbation (PerturbNormal analogue)
         t_b = m3.normalize(tan_px - nrm_px * m3.dot(tan_px, nrm_px))
         b_b = jnp.cross(nrm_px, t_b) * tan_sign
-        nscale = mrow[..., 9:10]
+        nscale = mgrp(9, 10)
         n_ts = n_t[..., :3] * 2.0 - 1.0
         n_ts = n_ts * jnp.concatenate(
             [nscale, nscale, jnp.ones_like(nscale)], axis=-1)
@@ -325,7 +345,7 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         emissive = jnp.where(em_on, emissive * m3.srgb_to_linear(em_t[..., :3]),
                              emissive)
         ao_t, ao_on = slot_sample(4)
-        occl_strength = mrow[..., 10:11]
+        occl_strength = mgrp(10, 11)
         occlusion = jnp.where(
             ao_on, 1.0 + occl_strength * (ao_t[..., 0:1] - 1.0), occlusion)
 
@@ -334,9 +354,9 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     # specular-glossiness workflow (GetSurfaceReflectance SG branch,
     # PBR_Shading.fxh:390-402): base=diffuse, specular factor=F0,
     # roughness field carries (1 - glossiness) already
-    workflow = mrow[..., 11:12]
+    workflow = mgrp(11, 12)
     is_sg = workflow == float(sh.PBR_WORKFLOW_SPECULAR_GLOSSINESS)
-    srf_sg = sh.get_surface_reflectance_sg(base_color, mrow[..., 14:17],
+    srf_sg = sh.get_surface_reflectance_sg(base_color, mgrp(14, 17),
                                            1.0 - roughness)
     srf = sh.SurfaceReflectanceInfo(
         perceptual_roughness=jnp.where(is_sg, srf_sg.perceptual_roughness,
@@ -350,11 +370,11 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     # stacked attribs, the analogue of the ENABLE_* macros) ------------------
     clearcoat = None
     if enable_clearcoat:
-        cc_rough = mrow[..., 13:14]
+        cc_rough = mgrp(13, 14)
         clearcoat = sh.ClearcoatShadingInfo(
             srf=sh.get_surface_reflectance_clearcoat(cc_rough),
             normal=nrm_px,
-            factor=mrow[..., 12:13])
+            factor=mgrp(12, 13))
     sheen = None
     if scene.materials_sheen is not None:
         ms = scene.materials_sheen
@@ -538,7 +558,7 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         z3 = jnp.zeros_like(base_color)
         debug = dict(
             texcoord0=(uv_px if use_textures else jnp.zeros_like(motion)),
-            transparency=mrow[..., 3:4],
+            transparency=mgrp(3, 4),
             emissive=emissive,
             diffuse_color=srf.diffuse_color,
             specular_color=srf.reflectance0,

@@ -313,19 +313,27 @@ def _render_frame(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         # kills the per-pixel attribute/material gathers — PERF_NOTES.md)
         from diligentfx_tpu.pbr.deferred import _material_table
         consts = scene.tri_material[:n_op].astype(jnp.float32)[:, None]
-        vb, fused_px, _stats = rz.rasterize_fused(
+        vb, fused_cx, _stats = rz.rasterize_fused(
             clip, scene.indices[:n_op], packed_attrs, winv, consts,
             _material_table(scene.materials).T,
             width=pad_w, height=pad_h, cfg=cfg, n_ch=6,
             double_sided=scene.tri_double_sided[:n_op])
         hit = vb.tri_id >= 0
-        fused_px = jnp.where(hit[..., None], fused_px, 0.0)
-        interp = fused_px[..., :6]
-        mrow = fused_px[..., 7:]                     # after the 1 const
-        base_color = mrow[..., 0:3]
-        emissive = mrow[..., 4:7]
-        metallic = mrow[..., 7:8]
-        roughness = mrow[..., 8:9]
+        hm = hit[..., None]
+
+        # fused_cx is channel-FIRST (C, H, W); stack only the small groups
+        # needed (channel-last kernel output forced a multi-second XLA
+        # relayout, PERF_NOTES.md), masking misses like interpolate_all does
+        def grp(a, b, o=0):
+            g = jnp.stack([fused_cx[c] for c in range(o + a, o + b)], -1)
+            return jnp.where(hm, g, 0.0)
+
+        interp = grp(0, 6)
+        m0 = 7                                       # after the 1 const
+        base_color = grp(0, 3, m0)
+        emissive = grp(4, 7, m0)
+        metallic = grp(7, 8, m0)
+        roughness = grp(8, 9, m0)
     else:
         vb, _stats = rz.rasterize(clip, scene.indices[:n_op],
                                   width=pad_w, height=pad_h, cfg=cfg,

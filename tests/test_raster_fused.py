@@ -51,7 +51,8 @@ def test_fused_matches_two_pass():
 
     ref = rz.interpolate_all(vb, idx, attrs, winv)
     hit = np.asarray(vb.tri_id) >= 0
-    got = np.asarray(out)
+    # out is channel-FIRST (C, H, W) — view as (H, W, C) for the checks
+    got = np.moveaxis(np.asarray(out), 0, -1)
     np.testing.assert_allclose(got[..., :5][hit], np.asarray(ref)[hit],
                                atol=2e-4, rtol=2e-4)
 
