@@ -554,11 +554,16 @@ def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
         clip, indices, width, height, double_sided, front_ccw, near_eps,
         screen_size=screen_size, screen_offset=screen_offset,
         attrs=attrs, winv_vert=winv, tri_consts=tri_consts)
+    # the original triangle id rides the planes table as one more const:
+    # the kernel's z-loop then tracks only (z, slot) and the id resolves in
+    # the epilogue with the other per-winner values
+    planes = jnp.concatenate([planes, _orig[:, None].astype(jnp.float32)],
+                             axis=-1)
     _, compact, counts, max_count, overflow, big_overflow = _bin_triangles(
         valid, bbox, width, height, cfg)
     tiles_x = width // cfg.tile_w
     tiles_y = height // cfg.tile_h
-    n_const = 0 if tri_consts is None else tri_consts.shape[1]
+    n_const = (0 if tri_consts is None else tri_consts.shape[1]) + 1
     fn = raster_tiles_fused_pallas
     if interpret:
         import jax.experimental.pallas as _pl

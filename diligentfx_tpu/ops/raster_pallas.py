@@ -65,20 +65,34 @@ def _raster_tile_kernel(counts_ref,            # scalar prefetch: (num_tiles,)
         l1 = coef(3) * px[None] + coef(4) * py[None] + coef(5)
         l2 = 1.0 - l0 - l1
         z = coef(6) * px[None] + coef(7) * py[None] + coef(8)
-        cover = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)      # (chunk, th, tw)
+        # 2D iota: Mosaic rejects the 1D-iota broadcast shape cast
+        idxs = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0)
+        live = (base + idxs) < count
+        cover = ((l0 >= 0.0) & (l1 >= 0.0)
+                 & (l2 >= 0.0) & live)                       # (chunk, th, tw)
         # stored barycentrics: the ORIGINAL triangle's planes (cols 9-14)
         lo0 = coef(9) * px[None] + coef(10) * py[None] + coef(11)
         lo1 = coef(12) * px[None] + coef(13) * py[None] + coef(14)
 
+        # chunk-axis min/argmin picks the winner (FIRST minimum = the same
+        # tie-break as a sequential strict-less z test); Mosaic has no 3D
+        # gather, so the winner's values resolve via one-hot select chains
+        zc = jnp.where(cover, depth_sign * z, jnp.inf)
+        best = jnp.min(zc, axis=0)
+        bk = jnp.argmin(zc, axis=0)                          # (th, tw)
+        take = best < depth_sign * z_ref[0]
+        tri = jnp.full((th, tw), -1, jnp.int32)
+        b0v = jnp.zeros((th, tw), jnp.float32)
+        b1v = jnp.zeros((th, tw), jnp.float32)
         for k in range(chunk):
-            idx = base + k
-            zb = z_ref[0]
-            take = cover[k] & (depth_sign * z[k] < depth_sign * zb) & (idx < count)
-            tri = s[k, 15].astype(jnp.int32)                 # original tri id
-            z_ref[0] = jnp.where(take, z[k], zb)
-            id_ref[0] = jnp.where(take, tri, id_ref[0])
-            b0_ref[0] = jnp.where(take, lo0[k], b0_ref[0])
-            b1_ref[0] = jnp.where(take, lo1[k], b1_ref[0])
+            is_k = bk == k
+            tri = jnp.where(is_k, s[k, 15].astype(jnp.int32), tri)
+            b0v = jnp.where(is_k, lo0[k], b0v)
+            b1v = jnp.where(is_k, lo1[k], b1v)
+        z_ref[0] = jnp.where(take, depth_sign * best, z_ref[0])
+        id_ref[0] = jnp.where(take, tri, id_ref[0])
+        b0_ref[0] = jnp.where(take, b0v, b0_ref[0])
+        b1_ref[0] = jnp.where(take, b1v, b1_ref[0])
         return 0
 
     n_chunks = pl.cdiv(count, chunk)
@@ -127,7 +141,6 @@ def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
     py = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
 
     z_ref[...] = jnp.full((th, tw), depth_clear, jnp.float32)
-    id_ref[...] = jnp.full((th, tw), -1, jnp.int32)
     slot_scr[...] = jnp.zeros((th, tw), jnp.int32)
 
     def body(i, _):
@@ -141,16 +154,23 @@ def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
         l1 = coef(3) * px[None] + coef(4) * py[None] + coef(5)
         l2 = 1.0 - l0 - l1
         z = coef(6) * px[None] + coef(7) * py[None] + coef(8)
-        cover = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+        # 2D iota: Mosaic rejects the 1D-iota broadcast shape cast
+        idxs = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0)
+        live = (base + idxs) < count
+        cover = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & live
 
-        for k in range(chunk):
-            idx = base + k
-            zb = z_ref[...]
-            take = cover[k] & (depth_sign * z[k] < depth_sign * zb) & (idx < count)
-            tri = s[k, 15].astype(jnp.int32)
-            z_ref[...] = jnp.where(take, z[k], zb)
-            id_ref[...] = jnp.where(take, tri, id_ref[...])
-            slot_scr[...] = jnp.where(take, idx, slot_scr[...])
+        # chunk-axis min/argmin replaces a per-candidate select chain
+        # (identical winner semantics: argmin takes the FIRST minimum, the
+        # same tie-break as the sequential strict-less z test).  The loop
+        # tracks ONLY z and the winning slot; the triangle id rides the
+        # planes table as the final const and resolves in the epilogue
+        # (Mosaic has no 3D gather for a per-pixel chunk-axis pick).
+        zc = jnp.where(cover, depth_sign * z, jnp.inf)       # (chunk, th, tw)
+        best = jnp.min(zc, axis=0)
+        bk = jnp.argmin(zc, axis=0)                          # (th, tw)
+        take = best < depth_sign * z_ref[...]
+        z_ref[...] = jnp.where(take, depth_sign * best, z_ref[...])
+        slot_scr[...] = jnp.where(take, base + bk, slot_scr[...])
         return 0
 
     jax.lax.fori_loop(0, pl.cdiv(count, chunk), body, 0)
@@ -183,6 +203,11 @@ def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
             derivs.append((a - val * d_a) * rcp)             # d(val)/dx
             derivs.append((b - val * d_b) * rcp)             # d(val)/dy
     consts = [val_at(3 + 3 * n_ch + k) for k in range(n_const)]
+    # the FINAL const is always the original triangle id (appended by
+    # rasterize_fused): resolve the id image here, -1 where nothing won
+    hit = depth_sign * z_ref[...] < jnp.inf
+    id_ref[...] = jnp.where(hit, consts[-1].astype(jnp.int32), -1)
+    consts = consts[:-1]
 
     outs = ch_vals + derivs + consts
     if n_mrow:
@@ -246,7 +271,8 @@ def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
         n_mrow, m_pad = 0, 128
         mattab = jnp.zeros((8, m_pad), jnp.float32)
 
-    out_ch = n_ch + 2 * len(deriv_channels) + n_const + n_mrow
+    # the last const is the tri id consumed in-kernel, not emitted
+    out_ch = n_ch + 2 * len(deriv_channels) + (n_const - 1) + n_mrow
     depth_clear = jnp.inf if depth_less else -jnp.inf
     kernel = functools.partial(
         _fused_tile_kernel, th=th, tw=tw, cap=cap, cap_pad=cap_pad,
