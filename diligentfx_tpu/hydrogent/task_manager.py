@@ -110,6 +110,13 @@ class TaskManagerCreateInfo:
     # ComputeDepthBounds task: FrameOutput.depth_range feeds the next
     # frame's cascade fitting (AdjustCascadeRange, ShadowMapManager.cpp)
     enable_depth_bounds: bool = False
+    # Emit every G-buffer AOV in FrameOutput.gbuffer (the full
+    # HnFrameRenderTargets set).  When False, only the products an
+    # interactive app reads back survive (color, depth, mesh id for picking,
+    # motion) — the shading-only AOVs die inside the one-program frame and
+    # their output materialization cost disappears.  The reference
+    # analogue: a Hydra app requests only the AOV Bprims it binds.
+    emit_aovs: bool = True
 
 
 class BoundBoxParams(NamedTuple):
@@ -592,6 +599,13 @@ def _frame_post(pre: dict, state: FrameState, settings: FrameSettings, *,
         taa=new_taa, ssr=new_ssr, ssao=new_ssao, dof=new_dof,
         average_log_lum=new_exposure if ci.enable_auto_exposure else state.average_log_lum,
         prev_depth=gb.depth if state.prev_depth is not None else None)
+    if not (ci.emit_aovs or ci.view_mode != DebugViewType.NONE):
+        # keep only the app-read-back products; the rest never materialize
+        gb = gb._replace(
+            normal_world=None, normal_view=None, base_color=None,
+            material_data=None, world_pos=None, direct=None,
+            ambient_diffuse=None, ambient_specular=None,
+            spec_env_factor=None, background=None, debug=None)
     return FrameOutput(color=color, gbuffer=gb, state=new_state,
                        depth_range=pre.get("depth_range"))
 

@@ -254,3 +254,47 @@ def build_mip_chain(img: Array, num_levels: int) -> List[Array]:
         cur = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2] + cur[0::2, 1::2] + cur[1::2, 1::2])
         mips.append(cur)
     return mips
+
+
+def _upsample_axis(x: Array, f: int, axis: int) -> Array:
+    """Interleave f bilinear phases along `axis` (exact jax.image.resize
+    'bilinear' semantics for an integer factor: output i samples input at
+    (i + 0.5)/f - 0.5, edge-clamped)."""
+    if f == 1:
+        return x
+    n = x.shape[axis]
+
+    def shift(arr, d):
+        # clamp-to-edge shift by d in {-1, +1} along axis
+        sl = [slice(None)] * arr.ndim
+        ed = [slice(None)] * arr.ndim
+        if d > 0:
+            sl[axis] = slice(1, None)
+            ed[axis] = slice(n - 1, None)
+            return jnp.concatenate([arr[tuple(sl)], arr[tuple(ed)]], axis)
+        sl[axis] = slice(0, n - 1)
+        ed[axis] = slice(0, 1)
+        return jnp.concatenate([arr[tuple(ed)], arr[tuple(sl)]], axis)
+
+    nxt = shift(x, +1)
+    prv = shift(x, -1)
+    phases = []
+    for p in range(f):
+        t = (p + 0.5) / f - 0.5
+        if t >= 0:
+            phases.append(x * (1.0 - t) + nxt * t)
+        else:
+            phases.append(prv * (-t) + x * (1.0 + t))
+    st = jnp.stack(phases, axis=axis + 1)           # (..., n, f, ...)
+    new_shape = list(x.shape)
+    new_shape[axis] = n * f
+    return st.reshape(new_shape)
+
+
+def upsample_bilinear(x: Array, fy: int, fx: int) -> Array:
+    """Gather-free integer-factor bilinear upsample: f phase images built
+    from clamp-shifted copies (streaming VPU lerps), interleaved by a plain
+    C-order reshape.  Replaces `jax.image.resize(..., "bilinear")` on the
+    postfx upsample paths — resize lowers to per-pixel gathers, the TPU
+    cost unit (PERF_NOTES.md)."""
+    return _upsample_axis(_upsample_axis(x, fy, 0), fx, 1)

@@ -258,8 +258,8 @@ def render_frame_banded(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
             # (which samples input row i/2 - 0.25) never clamps at interior
             # band edges; crop the 2 full-res halo rows after
             ao2e = ao_x[h2 - 1: h2 + band2 + 1]
-            ao_e = jax.image.resize(ao2e, (band_h + 4, width),
-                                    method="bilinear")
+            from diligentfx_tpu.ops.sampling import upsample_bilinear
+            ao_e = upsample_bilinear(ao2e, 2, 2)[:band_h + 4, :width]
             ao = ao_e[2:band_h + 2]
             if st.ssao_history is not None:
                 hist = st.ssao_history
@@ -300,8 +300,8 @@ def render_frame_banded(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
                        if st.ssr_radiance is not None else None),
                 motion=None, half_resolution=False, resolution_divisor=0)
             new_ssr = ssr_state.radiance
-            rad_up = jax.image.resize(
-                rad_full, (height, width, 4), method="bilinear")
+            from diligentfx_tpu.ops.sampling import upsample_bilinear
+            rad_up = upsample_bilinear(rad_full, d, d)[:height, :width]
             ssr_rad = jax.lax.dynamic_slice(
                 rad_up, (y0, 0, 0), (band_h, width, 4))
 

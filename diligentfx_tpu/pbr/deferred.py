@@ -539,8 +539,13 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
 
     ray = _camera_rays(info.camera, pad_w, pad_h, row0=r0, band_h=band_h)
     if fast_env:
-        from diligentfx_tpu.ops.sampling import dir_to_oct_uv, point_sample
-        bg = point_sample(env_oct, dir_to_oct_uv(ray))
+        # half-res point taps + gather-free phase upsample: the background
+        # is a smooth low-res env map and gathers are the TPU cost unit —
+        # this quarters the full-screen gather rows (PERF_NOTES.md)
+        from diligentfx_tpu.ops.sampling import (dir_to_oct_uv, point_sample,
+                                                 upsample_bilinear)
+        bg2 = point_sample(env_oct, dir_to_oct_uv(ray[::2, ::2]))
+        bg = upsample_bilinear(bg2, 2, 2)[:band_h, :pad_w]
     else:
         bg = sample_env_oct([env_oct], ray, jnp.zeros(ray.shape[:-1]))
 

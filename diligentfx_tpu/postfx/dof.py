@@ -219,9 +219,10 @@ def apply_dof(color: Array, depth: Array, camera: CameraAttribs,
     del radius2
     far_blur = tent_3x3(far_blur)
     near_blur = tent_3x3(near_blur)
-    far_full = jax.image.resize(far_blur, (h, w, 3), method="bilinear")
-    near_full = jax.image.resize(near_blur, (h, w, 3), method="bilinear")
-    near_coc_full = jax.image.resize(near2, (h, w), method="bilinear")
+    from diligentfx_tpu.ops.sampling import upsample_bilinear
+    far_full = upsample_bilinear(far_blur, 2, 2)[:h, :w]
+    near_full = upsample_bilinear(near_blur, 2, 2)[:h, :w]
+    near_coc_full = upsample_bilinear(near2, 2, 2)[:h, :w]
 
     # combine: far field under, near field OVER (bleeds across sharp edges)
     far_blend = jnp.clip(jnp.maximum(coc, 0.0) * 2.0, 0.0, 1.0)[..., None]

@@ -281,7 +281,8 @@ def apply_ssao(depth: Array, normal_vs: Array, camera: CameraAttribs,
         ao = compute_gtao(d2, n2, camera, frame_index, settings,
                           num_slices, num_steps, use_pallas=use_pallas)
         ao = bilateral_blur(ao, d2, camera)
-        ao = jax.image.resize(ao, (h, w), method="bilinear")
+        from diligentfx_tpu.ops.sampling import upsample_bilinear
+        ao = upsample_bilinear(ao, 2, 2)[:h, :w]
     else:
         ao = compute_gtao(depth, normal_vs, camera, frame_index, settings,
                           num_slices, num_steps, use_pallas=use_pallas)

@@ -328,5 +328,7 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
     new_state = SSRState(radiance=radiance)
 
     if half_resolution:
-        radiance = jax.image.resize(radiance, (full_h, full_w, 4), method="bilinear")
+        # gather-free phase-interleave upsample (resize lowers to gathers)
+        from diligentfx_tpu.ops.sampling import upsample_bilinear
+        radiance = upsample_bilinear(radiance, d, d)[:full_h, :full_w]
     return radiance, new_state
