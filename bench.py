@@ -91,6 +91,7 @@ def main():
         enable_ssao=True, ssao_half_resolution=True,
         ssao_num_slices=2, ssao_num_steps=4,
         ssao_use_pallas=not args.smoke,
+        ssr_use_pallas=not args.smoke,
         fast_env_taps=not args.smoke,
         enable_ssr=True, ssr_half_resolution=True,
         ssr_resolution_divisor=2 if args.smoke else 4,

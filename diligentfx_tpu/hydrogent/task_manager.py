@@ -79,6 +79,7 @@ class TaskManagerCreateInfo:
     ssao_num_slices: int = 3
     ssao_num_steps: int = 6
     ssao_use_pallas: bool = False   # gather-free tap path (TPU only)
+    ssr_use_pallas: bool = False    # VMEM-resident coarse march (TPU only)
     fast_env_taps: bool = False     # nearest-mip env + point LUT sampling
     dof_use_pallas: bool = False    # gather-free bokeh taps (TPU only)
     # Debug AOV output (HN_VIEW_MODE_* analogue, HnTypes.hpp:76+): when not
@@ -429,7 +430,7 @@ def _frame_fx(begin: dict, scene, state: FrameState, ibl_maps,
             state=state.ssr, motion=gb.motion,
             half_resolution=ci.ssr_half_resolution,
             resolution_divisor=ci.ssr_resolution_divisor,
-            disocclusion=disocclusion)
+            disocclusion=disocclusion, use_pallas=ci.ssr_use_pallas)
 
     # ---- Composite (HnPostProcess.psh analogue) -------------------------------
     ao1 = ao[..., None]

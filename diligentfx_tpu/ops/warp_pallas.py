@@ -169,3 +169,109 @@ def warp_bilinear_pallas(img: Array, offset_px: Array, *,
         outs.append(out)
     result = jnp.stack(outs, axis=-1)
     return result[..., 0] if squeeze else result
+
+
+# ---------------------------------------------------------------------------
+# Multi-tap warp: K taps of one image in ONE kernel (one window DMA, one
+# launch) — the SSAO horizon taps were 16 separate pallas calls whose XLA
+# glue (pad + offset tiling + untile per call) dominated the pass.
+# ---------------------------------------------------------------------------
+
+
+def _warp_multi_kernel(img_hbm, offy_ref, offx_ref, out_ref, scratch, sem,
+                       *, k_taps: int, win_h: int, win_w: int,
+                       height: int, width: int, tiles_x: int,
+                       halo_r: int, halo_c: int):
+    t = pl.program_id(0)
+    ty = t // tiles_x
+    tx = t % tiles_x
+    y0 = ty * TILE_H
+    x0 = tx * TILE_W
+
+    ry = jnp.clip(y0 - halo_r, 0, height - win_h)
+    ry = pl.multiple_of((ry // TILE_H) * TILE_H, TILE_H)
+    rx = jnp.clip(x0 - halo_c, 0, width - win_w)
+    rx = pl.multiple_of((rx // TILE_W) * TILE_W, TILE_W)
+    cp = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(ry, win_h), pl.ds(rx, win_w)], scratch, sem)
+    cp.start()
+    cp.wait()
+
+    py = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+    px = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+
+    for k in range(k_taps):
+        sy = py + (y0 - ry).astype(jnp.float32) + offy_ref[k]
+        sx = px + (x0 - rx).astype(jnp.float32) + offx_ref[k]
+        sy = jnp.clip(sy, 0.0, win_h - 1.0)
+        sx = jnp.clip(sx, 0.0, win_w - 1.0)
+        yi = jnp.floor(sy).astype(jnp.int32)
+        xi = jnp.floor(sx).astype(jnp.int32)
+        fy = sy - yi.astype(jnp.float32)
+        fx = sx - xi.astype(jnp.float32)
+        xi1 = jnp.minimum(xi + 1, win_w - 1)
+
+        def body(r, v):
+            row = scratch[r]
+            ga = _row_gather(row, xi, win_w)
+            gb = _row_gather(row, xi1, win_w)
+            hval = ga + (gb - ga) * fx
+            return (v + jnp.where(yi == r, hval * (1.0 - fy), 0.0)
+                      + jnp.where(yi + 1 == r, hval * fy, 0.0))
+
+        out_ref[k] = jax.lax.fori_loop(0, win_h, body,
+                                       jnp.zeros((TILE_H, TILE_W), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("halo_r", "halo_c"))
+def warp_bilinear_multi_pallas(img: Array, offsets_px: Array, *,
+                               halo_r: int = 16, halo_c: int = 64) -> Array:
+    """K bilinear taps of `img` per pixel in one kernel.
+
+    img: (H, W) f32, H % 8 == 0, W % 128 == 0;
+    offsets_px: (K, H, W, 2) pixel offsets (dx, dy), clamped to the halo.
+    Returns (K, H, W) sampled values.  One window DMA serves all K taps and
+    the outputs land directly in final (K, H, W) layout (2D block index
+    maps — no XLA untile, PERF_NOTES.md)."""
+    h, w = img.shape
+    k_taps = offsets_px.shape[0]
+    assert h % TILE_H == 0 and w % TILE_W == 0, (h, w)
+    assert halo_c % 64 == 0 and halo_r % TILE_H == 0
+    halo_r = min(halo_r, (h - TILE_H) // 2 // TILE_H * TILE_H)
+    halo_c = min(halo_c, (w - TILE_W) // 2 // 64 * 64)
+    tiles_x = w // TILE_W
+    tiles_y = h // TILE_H
+    win_h = TILE_H + 2 * halo_r
+    win_w = TILE_W + 2 * halo_c
+    if halo_c % TILE_W != 0 and win_w + TILE_W <= w:
+        win_w += TILE_W
+    win_w = min(win_w, w)
+
+    cx = max(halo_c - 1.0, 0.0)
+    cy = max(halo_r - 1.0, 0.0)
+    ox = jnp.clip(offsets_px[..., 0], -cx, cx)
+    oy = jnp.clip(offsets_px[..., 1], -cy, cy)
+
+    kernel = functools.partial(
+        _warp_multi_kernel, k_taps=k_taps, win_h=win_h, win_w=win_w,
+        height=h, width=w, tiles_x=tiles_x, halo_r=halo_r, halo_c=halo_c)
+    out = pl.pallas_call(
+        kernel,
+        grid=(tiles_x * tiles_y,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # img (HBM)
+            pl.BlockSpec((k_taps, TILE_H, TILE_W),
+                         lambda i: (0, i // tiles_x, i % tiles_x),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_taps, TILE_H, TILE_W),
+                         lambda i: (0, i // tiles_x, i % tiles_x),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_taps, TILE_H, TILE_W),
+                               lambda i: (0, i // tiles_x, i % tiles_x),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_taps, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((win_h, win_w), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )(img, oy, ox)
+    return out

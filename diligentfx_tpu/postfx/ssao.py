@@ -145,6 +145,33 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
 
     visibility = jnp.zeros((h, w), jnp.float32)
 
+    def tap_offset(s, sgn, step):
+        """Pixel offset of horizon tap (slice s, direction sgn, step) —
+        hoisted so the Pallas path can batch EVERY tap through one
+        multi-tap warp kernel (one window DMA + launch instead of
+        slices×2×steps separate pallas calls)."""
+        phi_s = (s + noise) * (PI / num_slices)
+        d_px = jnp.stack([jnp.cos(phi_s), -jnp.sin(phi_s)], axis=-1)
+        t = (step + 0.5 + 0.5 * noise) / num_steps
+        t = t * t                                  # denser near center
+        off = d_px * (sgn * t * radius_px)[..., None]
+        if use_pallas:
+            # keep the reconstruction position consistent with the warp
+            # kernel's halo clamp
+            off = jnp.stack([jnp.clip(off[..., 0], -63.0, 63.0),
+                             jnp.clip(off[..., 1], -15.0, 15.0)], -1)
+        if max_tap_px is not None:
+            off = jnp.stack(
+                [jnp.clip(off[..., 0], -max_tap_px[0], max_tap_px[0]),
+                 jnp.clip(off[..., 1], -max_tap_px[1], max_tap_px[1])], -1)
+        return off
+
+    # NOTE: batching every tap through warp_bilinear_multi_pallas was
+    # measured SLOWER than per-tap calls (+27 ms full-frame at 1080p): the
+    # (K, H, W, 2) offset staging and the in-kernel K×win_h row sweep cost
+    # more than the 16 launches they replace.  Per-tap calls stay.
+    d_all = None
+
     for s in range(num_slices):
         phi = (s + noise) * (PI / num_slices)
         cos_p = jnp.cos(phi)
@@ -184,18 +211,10 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                 mip = (0 if (use_pallas or not use_mips)
                        else min((3 * step) // max(num_steps, 1),
                                 len(depth_pyr) - 1))
-                off = dir_px * (sgn * t * radius_px)[..., None]
-                if use_pallas:
-                    # keep the reconstruction position consistent with the
-                    # warp kernel's halo clamp
-                    off = jnp.stack([jnp.clip(off[..., 0], -63.0, 63.0),
-                                     jnp.clip(off[..., 1], -15.0, 15.0)], -1)
-                if max_tap_px is not None:
-                    off = jnp.stack(
-                        [jnp.clip(off[..., 0], -max_tap_px[0], max_tap_px[0]),
-                         jnp.clip(off[..., 1], -max_tap_px[1], max_tap_px[1])],
-                        -1)
-                if mip == 0:
+                off = tap_offset(s, sgn, step)
+                if d_all is not None:
+                    d = d_all[(s * 2 + side) * num_steps + step]
+                elif mip == 0:
                     d = _tap_depth(depth, off[..., 0], off[..., 1], use_pallas)
                 else:
                     uv_m = jnp.stack([(xi + off[..., 0]) / w,

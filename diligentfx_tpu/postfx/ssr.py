@@ -72,7 +72,8 @@ def build_min_depth_pyramid(depth: Array, levels: int = 5):
 
 
 def _march(depth_mips, origin_uvz: Array, dir_uvz: Array, steps: int,
-           thickness_ndc: Array, coarse_mip: int = 2) -> Tuple[Array, Array]:
+           thickness_ndc: Array, coarse_mip: int = 2,
+           use_pallas: bool = False) -> Tuple[Array, Array]:
     """Fixed-budget coarse march + secant refinement.
     origin/dir in (u, v, ndc_z) space.  Returns (hit_uvz, hit_mask).
 
@@ -88,33 +89,47 @@ def _march(depth_mips, origin_uvz: Array, dir_uvz: Array, steps: int,
     from diligentfx_tpu.ops.sampling import point_sample
     coarse = depth_mips[min(coarse_mip, len(depth_mips) - 1)]
     fine = depth_mips[0]
-
     dt = 1.0 / steps
-    ts = jnp.arange(steps + 1, dtype=jnp.float32) * dt               # (S+1,)
-    p = origin_uvz[None] + dir_uvz[None] * ts[:, None, None, None]   # (S+1,h,w,3)
-    d = point_sample(coarse[..., None], p[..., :2])[..., 0]          # (S+1,h,w)
-    f = p[..., 2] - d
-    inside = ((p[..., 0] > 0) & (p[..., 0] < 1)
-              & (p[..., 1] > 0) & (p[..., 1] < 1))
-    # a hit is a true front-to-back CROSSING: in front of the depth at the
-    # previous sample (f <= 0), behind it within thickness at this one.
-    # This also kills self-intersection with the ray's own sloped surface
-    # (those rays are born with f > 0 and never produce a sign change).
-    # The acceptance window scales with the per-step z advance: an immediate
-    # opaque crossing overshoots by at most one step of ray z, while passing
-    # BEHIND a thin silhouette jumps by the (much larger) depth gap.
-    step_dz = jnp.abs(dir_uvz[..., 2]) * dt
-    cross = ((f[1:] > 0) & (f[:-1] <= 0)
-             & (f[1:] < thickness_ndc + step_dz) & inside[1:])
-    hit = cross.any(axis=0)
-    i0 = jnp.argmax(cross, axis=0)                                   # (h,w)
 
-    # secant on the (already gathered) coarse bracket f(t_i0) <= 0 < f(t_i0+1)
-    f0 = jnp.take_along_axis(f, i0[None], 0)[0]
-    f1 = jnp.take_along_axis(f, (i0 + 1)[None], 0)[0]
-    frac = jnp.where(jnp.abs(f1 - f0) > 1e-12, -f0 / (f1 - f0), 1.0)
-    t_lo = i0.astype(jnp.float32) * dt
-    t_hit = t_lo + jnp.clip(frac, 0.0, 1.0) * dt
+    if use_pallas and coarse.shape[1] <= 128:
+        # the whole coarse mip lives in VMEM: the march needs ZERO HBM
+        # gathers (the XLA batched march below gathers (S+1)·h·w rows,
+        # ~20 ms at 1080p/div4 — PERF_NOTES.md)
+        from diligentfx_tpu.ops.march_pallas import march_small_table_pallas
+        h, w = origin_uvz.shape[:2]
+        ph, pw = (-h) % 8, (-w) % 128
+        o_p = jnp.pad(origin_uvz, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        d_p = jnp.pad(dir_uvz, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        t_lo, t_hit, hit = march_small_table_pallas(
+            coarse, o_p, d_p, thickness_ndc, steps=steps)
+        t_lo, t_hit, hit = t_lo[:h, :w], t_hit[:h, :w], hit[:h, :w]
+    else:
+        ts = jnp.arange(steps + 1, dtype=jnp.float32) * dt           # (S+1,)
+        p = origin_uvz[None] + dir_uvz[None] * ts[:, None, None, None]
+        d = point_sample(coarse[..., None], p[..., :2])[..., 0]      # (S+1,h,w)
+        f = p[..., 2] - d
+        inside = ((p[..., 0] > 0) & (p[..., 0] < 1)
+                  & (p[..., 1] > 0) & (p[..., 1] < 1))
+        # a hit is a true front-to-back CROSSING: in front of the depth at
+        # the previous sample (f <= 0), behind it within thickness at this
+        # one.  This also kills self-intersection with the ray's own sloped
+        # surface (those rays are born with f > 0 and never produce a sign
+        # change).  The acceptance window scales with the per-step z
+        # advance: an immediate opaque crossing overshoots by at most one
+        # step of ray z, while passing BEHIND a thin silhouette jumps by
+        # the (much larger) depth gap.
+        step_dz = jnp.abs(dir_uvz[..., 2]) * dt
+        cross = ((f[1:] > 0) & (f[:-1] <= 0)
+                 & (f[1:] < thickness_ndc + step_dz) & inside[1:])
+        hit = cross.any(axis=0)
+        i0 = jnp.argmax(cross, axis=0)                               # (h,w)
+
+        # secant on the gathered coarse bracket f(t_i0) <= 0 < f(t_i0+1)
+        f0 = jnp.take_along_axis(f, i0[None], 0)[0]
+        f1 = jnp.take_along_axis(f, (i0 + 1)[None], 0)[0]
+        frac = jnp.where(jnp.abs(f1 - f0) > 1e-12, -f0 / (f1 - f0), 1.0)
+        t_lo = i0.astype(jnp.float32) * dt
+        t_hit = t_lo + jnp.clip(frac, 0.0, 1.0) * dt
 
     # fine-buffer correction: ONE batched bilinear gather taps the fine depth
     # at both bracket ends; a second secant runs purely on fine values
@@ -187,7 +202,8 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
                 motion: Optional[Array] = None,
                 half_resolution: bool = False,
                 resolution_divisor: int = 0,
-                disocclusion: Optional[Array] = None) -> Tuple[Array, SSRState]:
+                disocclusion: Optional[Array] = None,
+                use_pallas: bool = False) -> Tuple[Array, SSRState]:
     """Full SSR: returns ((H, W, 4) radiance+confidence, new state).
 
     color: scene radiance to reflect (pre-tonemap); normal_vs view-space.
@@ -270,7 +286,8 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
     thick = settings.depth_buffer_thickness / jnp.maximum(
         camera.far_z - camera.near_z, 1e-3)
     hit_uvz, hit = _march(mips, o_uvz, dir_uvz,
-                          settings.max_traversal_intersections, thick)
+                          settings.max_traversal_intersections, thick,
+                          use_pallas=use_pallas)
 
     # reject hits whose surface doesn't face the ray (FFX-SSSR style): kills
     # the false crossings a grazing ray makes skimming its own reflector

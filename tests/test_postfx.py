@@ -273,3 +273,33 @@ def test_dof_near_field_bleeds_far_field_does_not():
     out_b = np.asarray(out_b)
     assert out_b[64, 72, 0] < out[64, 70, 0], (out_b[64, 72, 0], out[64, 70, 0])
     assert out_b[64, 76, 0] < 0.05, "far field must not bleed over focus"
+
+
+def test_march_pallas_matches_xla():
+    """The VMEM-resident Pallas coarse march must agree with the XLA batched
+    march (same crossing test, first-hit tie-break, and secant bracket)."""
+    import functools
+    from jax.experimental import pallas as pl
+    from diligentfx_tpu.postfx.ssr import _march, build_min_depth_pyramid
+    rng = np.random.default_rng(5)
+    h, w = 16, 128
+    depth = jnp.asarray(
+        (0.3 + 0.5 * rng.random((h, w))).astype(np.float32))
+    mips = build_min_depth_pyramid(depth, 3)
+    o = np.zeros((h, w, 3), np.float32)
+    o[..., 0] = rng.random((h, w))
+    o[..., 1] = rng.random((h, w))
+    o[..., 2] = 0.2 + 0.2 * rng.random((h, w))
+    d = rng.uniform(-0.6, 0.6, (h, w, 3)).astype(np.float32)
+    d[..., 2] = rng.uniform(0.0, 0.6, (h, w))
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    import unittest.mock as mock
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        uvz_p, hit_p = _march(mips, o, d, 12, jnp.float32(0.05),
+                              use_pallas=True)
+    uvz_x, hit_x = _march(mips, o, d, 12, jnp.float32(0.05))
+    np.testing.assert_array_equal(np.asarray(hit_p), np.asarray(hit_x))
+    hp, hx = np.asarray(uvz_p), np.asarray(uvz_x)
+    hm = np.asarray(hit_x)
+    np.testing.assert_allclose(hp[hm], hx[hm], atol=1e-5)

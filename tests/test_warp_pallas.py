@@ -65,3 +65,24 @@ def test_warp_right_halo_interior_tiles(interpret_pallas):
     a, b = np.asarray(out), np.asarray(ref)
     # every interior tile's right columns must match (they were the bug)
     assert np.abs(a - b)[8:-8, 128:448].max() < 1e-4
+
+
+def test_multi_tap_matches_single(monkeypatch):
+    """warp_bilinear_multi_pallas == K independent warp_bilinear_pallas
+    calls (one window DMA serving all taps)."""
+    import functools
+    from jax.experimental import pallas as pl
+    from diligentfx_tpu.ops.warp_pallas import (warp_bilinear_multi_pallas,
+                                                warp_bilinear_pallas)
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    rng = np.random.default_rng(3)
+    h, w, k = 32, 256, 5
+    img = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    offs = jnp.asarray(
+        rng.uniform(-20, 20, (k, h, w, 2)).astype(np.float32))
+    multi = warp_bilinear_multi_pallas(img, offs, halo_r=16, halo_c=64)
+    for i in range(k):
+        single = warp_bilinear_pallas(img, offs[i], halo_r=16, halo_c=64)
+        np.testing.assert_allclose(np.asarray(multi[i]), np.asarray(single),
+                                   atol=1e-5, err_msg=str(i))
