@@ -298,3 +298,25 @@ def upsample_bilinear(x: Array, fy: int, fx: int) -> Array:
     postfx upsample paths — resize lowers to per-pixel gathers, the TPU
     cost unit (PERF_NOTES.md)."""
     return _upsample_axis(_upsample_axis(x, fy, 0), fx, 1)
+
+
+def sh9_eval(d: Array, sh_coeffs: Array) -> Array:
+    """Σ_k basis_k(d) * sh_coeffs[k] as fully-fused unrolled MADs — the
+    stacked-basis + einsum form materialized a (..., 9) DUS chain per frame
+    (PERF_NOTES.md round-2 HLO audit).  d (..., 3), sh_coeffs (9, C)."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    basis = [
+        jnp.full_like(x, 0.282095),
+        0.488603 * y, 0.488603 * z, 0.488603 * x,
+        1.092548 * x * y, 1.092548 * y * z,
+        0.315392 * (3.0 * z * z - 1.0),
+        1.092548 * x * z,
+        0.546274 * (x * x - y * y),
+    ]
+    chans = []
+    for c in range(sh_coeffs.shape[1]):
+        acc = jnp.zeros_like(x)
+        for k in range(9):
+            acc = acc + basis[k] * sh_coeffs[k, c]
+        chans.append(acc)
+    return jnp.stack(chans, axis=-1)

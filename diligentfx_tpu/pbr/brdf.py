@@ -350,13 +350,36 @@ def _cheb_basis(x: Array, k: int) -> Array:
     return jnp.concatenate(outs[:k], axis=-1)
 
 
+def _cheb_list(x: Array, k: int) -> list:
+    """T_0..T_{k-1} of 2x-1 as a PYTHON list of per-pixel planes — no
+    (..., K) tensor is ever materialized (the concatenate lowered to a
+    DUS chain and the downstream einsum to a 33M-element convolution,
+    PERF_NOTES.md round-2 HLO audit)."""
+    t = 2.0 * x - 1.0
+    outs = [jnp.ones_like(t), t]
+    for _ in range(2, k):
+        outs.append(2.0 * t * outs[-1] - outs[-2])
+    return outs[:k]
+
+
 def env_brdf_fitted(ndotv: Array, perceptual_roughness: Array,
                     coeffs: Array) -> Array:
     """Gather-free split-sum env BRDF (A, B): evaluates the per-renderer
     tensor-Chebyshev fit of the preintegrated GGX LUT (ibl.fit_env_brdf;
-    max fit error < 0.03).  A few dozen MADs per pixel on the VPU instead
-    of a full-screen LUT gather — the TPU cost unit (PERF_NOTES.md)."""
+    max fit error < 0.03).  Fully-fused unrolled MADs on the VPU — neither
+    a basis tensor nor a contraction is materialized."""
     k = coeffs.shape[0]
-    bn = _cheb_basis(ndotv, k)                     # (..., K)
-    br = _cheb_basis(perceptual_roughness, k)      # (..., K)
-    return jnp.einsum("...i,...j,ijc->...c", bn, br, coeffs)
+    tn = _cheb_list(ndotv[..., 0], k)
+    tr = _cheb_list(perceptual_roughness[..., 0], k)
+    a = jnp.zeros_like(tn[0])
+    b = jnp.zeros_like(tn[0])
+    for i in range(k):
+        # factor the inner roughness sum per i: K + K² scalar-weighted MADs
+        ai = jnp.zeros_like(tr[0])
+        bi = jnp.zeros_like(tr[0])
+        for j in range(k):
+            ai = ai + tr[j] * coeffs[i, j, 0]
+            bi = bi + tr[j] * coeffs[i, j, 1]
+        a = a + tn[i] * ai
+        b = b + tn[i] * bi
+    return jnp.stack([a, b], axis=-1)

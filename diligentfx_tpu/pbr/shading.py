@@ -348,9 +348,8 @@ def apply_ibl(shading: SurfaceShadingInfo, maps: IBLMaps,
 
     # Diffuse (GetLambertianIBL multiple-scattering path, PBR_Shading.fxh:317-345)
     if maps.irradiance_sh is not None:
-        from diligentfx_tpu.ops.sampling import sh9_basis
-        irradiance = jnp.maximum(
-            jnp.einsum("...k,kc->...c", sh9_basis(n), maps.irradiance_sh), 0.0)
+        from diligentfx_tpu.ops.sampling import sh9_eval
+        irradiance = jnp.maximum(sh9_eval(n, maps.irradiance_sh), 0.0)
     else:
         irradiance = sample_env_oct([maps.irradiance], n, jnp.zeros(n.shape[:-1]))
     fss_ess = k_s * pre_int[..., 0:1] + pre_int[..., 1:2]
