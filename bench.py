@@ -78,8 +78,11 @@ def main():
         scene = build_bench_scene(5, 9, 32)
         ci = PBRRendererCreateInfo()
         # tile_h=32 measured fastest for the Pallas kernel (PERF_NOTES.md)
+        # max_tiles_per_tri=8: the binning sort scales with T x K pairs
+        # (16 -> 8 measured -20 ms at 1080p; raster stats show zero bin/big
+        # overflow for this scene — see PERF_NOTES.md)
         cfg = RasterizerConfig(tile_h=32, tile_w=128, bin_capacity=1024,
-                               max_tiles_per_tri=16, big_tri_capacity=64, chunk=8)
+                               max_tiles_per_tri=8, big_tri_capacity=64, chunk=8)
         frames = args.frames
 
     from diligentfx_tpu.hydrogent.task_manager import (HnTaskManager,
