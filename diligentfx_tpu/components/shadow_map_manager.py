@@ -479,8 +479,19 @@ def sample_cascaded_shadows(world_pos: Array, cam_view_z: Array,
     if mode == ShadowMode.PCF and world_pos.ndim == 3:
         def _plane_bias(info_):
             uvz = jnp.concatenate([info_.uv, info_.depth], axis=-1)
-            ddx = jnp.roll(uvz, -1, axis=1) - uvz
-            ddy = jnp.roll(uvz, -1, axis=0) - uvz
+
+            def _clamped_diff(a, axis):
+                # forward differences, duplicating the last difference at the
+                # image border — jnp.roll would wrap to the opposite edge and
+                # produce bogus plane slopes on the 1-px frame border
+                # (ADVICE r2)
+                d = jnp.diff(a, axis=axis)
+                pad = [(0, 0)] * a.ndim
+                pad[axis] = (0, 1)
+                return jnp.pad(d, pad, mode="edge")
+
+            ddx = _clamped_diff(uvz, 1)
+            ddy = _clamped_diff(uvz, 0)
             det = ddx[..., 0] * ddy[..., 1] - ddx[..., 1] * ddy[..., 0]
             inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
             b_u = (ddy[..., 1] * ddx[..., 2] - ddx[..., 1] * ddy[..., 2]) * inv

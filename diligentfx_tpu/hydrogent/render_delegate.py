@@ -514,6 +514,16 @@ class HnRenderDelegate:
             self._transform_dirty.clear()
         if self._scene is None:
             return None
+        # async-decoded / budget-deferred textures become resident on later
+        # frames WITHOUT a scene rebuild: pump the registry per frame and
+        # swap the atlas when its layout version changed (the registry's
+        # 'render immediately, refine as uploads land' contract; ADVICE r2)
+        if (self._scene.tex_ids is not None
+                and self.texture_registry.num_pending > 0):
+            sv = self.texture_registry.storage_version
+            atlas = self.texture_registry.commit()
+            if self.texture_registry.storage_version != sv:
+                self._atlas = atlas
 
         if self._tm is None:
             renderer = self._renderer or PBRRenderer(
@@ -567,13 +577,24 @@ class HnRenderDelegate:
             out = FrameOutput(color=color, gbuffer=None, state=self._state)
             self.last_output = out
             self.render_param.frame_number += 1
+            self._fold_prev_transforms()
             return out
         out = self._tm.execute(self._scene, info, self._state,
                                width=width, height=height)
         self._state = out.state
         self.last_output = out
         self.render_param.frame_number += 1
+        self._fold_prev_transforms()
         return out
+
+    def _fold_prev_transforms(self) -> None:
+        """After a frame consumed a transform delta, advance prev → current so
+        motion vectors return to zero on the next static frame (ADVICE r2:
+        prev matrices otherwise lag forever, rejecting TAA/SSR/SSAO history
+        on the moved prims every frame)."""
+        sc = self._scene
+        if sc is not None and sc.prev_node_matrices is not sc.node_matrices:
+            self._scene = sc._replace(prev_node_matrices=sc.node_matrices)
 
     def read_rprim_id(self, x: int, y: int) -> int:
         """Picking (HnReadRprimIdTask: the GPU→CPU readback boundary becomes

@@ -119,7 +119,7 @@ def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
                        *, th: int, tw: int, cap: int, cap_pad: int, chunk: int,
                        depth_sign: float, depth_clear: float,
                        n_ch: int, n_const: int, deriv_channels: tuple,
-                       n_mrow: int, m_pad: int):
+                       n_mrow: int, m_pad: int, transpose_in_kernel: bool):
     """Visibility raster + fused attribute/material epilogue.
 
     Phase 1 is the z-loop of `_raster_tile_kernel` (also recording the
@@ -178,10 +178,12 @@ def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
     # ---- epilogue: tile-local interpolation + material fetch ---------------
     slot = slot_scr[...]
     pt = planesT_ref[0]
-    if pt.shape[0] == cap_pad:
+    if transpose_in_kernel:
         # planes arrived row-major (cap_pad, P) straight from the XLA gather
         # (XLA transposes of gathered tables are pathological, PERF_NOTES.md
-        # round 2) — transpose tile-locally in VMEM instead.
+        # round 2) — transpose tile-locally in VMEM instead.  Branch on the
+        # STATIC flag, never on shape: p_pad == cap_pad would silently
+        # double-transpose (ADVICE r2).
         pt = pt.T
 
     def val_at(v):
@@ -278,7 +280,8 @@ def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
         _fused_tile_kernel, th=th, tw=tw, cap=cap, cap_pad=cap_pad,
         chunk=chunk, depth_sign=1.0 if depth_less else -1.0,
         depth_clear=float(depth_clear), n_ch=n_ch, n_const=n_const,
-        deriv_channels=tuple(deriv_channels), n_mrow=n_mrow, m_pad=m_pad)
+        deriv_channels=tuple(deriv_channels), n_mrow=n_mrow, m_pad=m_pad,
+        transpose_in_kernel=transpose_in_kernel)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -64,7 +64,11 @@ def _klayer_raster_tiles(setup, candidates, width, height,
     k = num_layers
 
     def step(state, cand_k):
-        zs, ids, b0s, b1s, ovf, ttrans = state
+        if tri_alpha is not None:
+            zs, ids, b0s, b1s, als, ovf, ttrans = state
+        else:
+            zs, ids, b0s, b1s, ovf, ttrans = state
+            als = None
         live = cand_k >= 0
         s = setup[jnp.maximum(cand_k, 0)]                    # (tiles, K, 16)
         if tri_alpha is not None:
@@ -106,12 +110,23 @@ def _klayer_raster_tiles(setup, candidates, width, height,
                 ids = [*ids[:slot], nid, *ids[slot + 1:]]
                 b0s = [*b0s[:slot], nb0, *b0s[slot + 1:]]
                 b1s = [*b1s[:slot], nb1, *b1s[slot + 1:]]
+                if tri_alpha is not None:
+                    # alpha swaps WITH the fragment: when a nearer candidate
+                    # displaces a layer, the displaced fragment's own alpha
+                    # must be the one that eventually falls into the tail
+                    # (ADVICE r2: tail opacity was attributed to the
+                    # inserted candidate, not the dropped fragment)
+                    na = jnp.where(closer, ca, als[slot])
+                    ca = jnp.where(closer, als[slot], ca)
+                    als = [*als[:slot], na, *als[slot + 1:]]
             # whatever is left in the candidate after K swaps overflowed:
             # count it, and accumulate its opacity into the tail
             dropped = jnp.isfinite(cz) & (cid >= 0)
             ovf = ovf + dropped.astype(jnp.int32)
             if tri_alpha is not None:
                 ttrans = ttrans * jnp.where(dropped, 1.0 - ca, 1.0)
+        if tri_alpha is not None:
+            return (zs, ids, b0s, b1s, als, ovf, ttrans), None
         return (zs, ids, b0s, b1s, ovf, ttrans), None
 
     init = (
@@ -119,11 +134,18 @@ def _klayer_raster_tiles(setup, candidates, width, height,
         [jnp.full((num_tiles, th, tw), -1, jnp.int32) for _ in range(k)],
         [jnp.zeros((num_tiles, th, tw), jnp.float32) for _ in range(k)],
         [jnp.zeros((num_tiles, th, tw), jnp.float32) for _ in range(k)],
+    )
+    if tri_alpha is not None:
+        init = init + (
+            [jnp.zeros((num_tiles, th, tw), jnp.float32) for _ in range(k)],)
+    init = init + (
         jnp.zeros((num_tiles, th, tw), jnp.int32),
         jnp.ones((num_tiles, th, tw), jnp.float32),
     )
     cand_steps = candidates.reshape(num_tiles, n_steps, chunk).transpose(1, 0, 2)
-    (zs, ids, b0s, b1s, ovf, ttrans), _ = jax.lax.scan(step, init, cand_steps)
+    fin, _ = jax.lax.scan(step, init, cand_steps)
+    zs, ids, b0s, b1s = fin[:4]
+    ovf, ttrans = fin[-2:]
 
     def untile(x):
         c = x.reshape(tiles_y, tiles_x, th, tw).transpose(0, 2, 1, 3)
