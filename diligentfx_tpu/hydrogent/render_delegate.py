@@ -141,32 +141,11 @@ class HnMesh:
         self._d._bump("mesh_visibility")
 
 
-class HnMaterialNetwork:
-    """Parses a UsdPreviewSurface-style network (HnMaterialNetwork
-    interface:46-192): surface node parameters + texture nodes + tag."""
-
-    def __init__(self, network: Optional[dict] = None):
-        net = network or {}
-        surface = net.get("surface", {})
-        self.diffuse_color = tuple(surface.get("diffuseColor", (0.18, 0.18, 0.18)))
-        self.metallic = float(surface.get("metallic", 0.0))
-        self.roughness = float(surface.get("roughness", 0.5))
-        self.emissive_color = tuple(surface.get("emissiveColor", (0, 0, 0)))
-        self.opacity = float(surface.get("opacity", 1.0))
-        self.opacity_threshold = float(surface.get("opacityThreshold", 0.0))
-        self.ior = float(surface.get("ior", 1.5))
-        self.clearcoat = float(surface.get("clearcoat", 0.0))
-        self.clearcoat_roughness = float(surface.get("clearcoatRoughness", 0.01))
-        self.textures = net.get("textures", {})  # param -> image ndarray/path
-
-    @property
-    def tag(self) -> str:
-        """Material tag for task ordering (translucent/masked/additive)."""
-        if self.opacity < 1.0 and self.opacity_threshold == 0.0:
-            return "translucent"
-        if self.opacity_threshold > 0.0:
-            return "masked"
-        return "default"
+# The real node-graph parse (UsdPreviewSurface + UsdUVTexture + primvar
+# readers + transform2d) lives in material_network.py; re-exported here for
+# backward compatibility with the old flat-dict shim location.
+from diligentfx_tpu.hydrogent.material_network import (  # noqa: E402
+    HnMaterialNetwork, TextureDescriptor, normalized_payload)
 
 
 class HnMaterial:
@@ -371,15 +350,8 @@ class HnRenderDelegate:
         mats: List = []
         mat_index: Dict[str, int] = {}
         mat_tex: List[List[int]] = []      # per material: 5 slot tex ids
-
-        # UsdPreviewSurface texture inputs → PBR texture slots
-        # (HnMaterial texture allocation through HnTextureRegistry,
-        # HnMaterial.cpp; slots match PBR_Textures.fxh ordering)
-        _TEX_SLOTS = {"diffuseColor": 0, "baseColor": 0,
-                      "normal": 1,
-                      "metallicRoughness": 2, "roughness": 2, "metallic": 2,
-                      "emissiveColor": 3,
-                      "occlusion": 4}
+        mat_uvxf: List[List[Tuple[float, ...]]] = []  # (5, 6) uv transforms
+        mat_wraps: List[List[Tuple[int, int]]] = []   # (5, 2) wrap u/v
 
         def material_slot(mid: str) -> int:
             if mid in mat_index:
@@ -396,14 +368,27 @@ class HnRenderDelegate:
                 alpha_mask_cutoff=net.opacity_threshold,
                 clearcoat_factor=net.clearcoat,
                 clearcoat_roughness_factor=net.clearcoat_roughness))
+            # per-slot texture descriptors carry sampler state (wrap modes,
+            # UV transform from UsdTransform2d, channel swizzle) — the
+            # HnMaterial texture-allocation path (HnMaterial.cpp) with
+            # PBRMaterialTextureAttribs semantics (PBR_Structures.fxh:245-255)
             slots = [-1, -1, -1, -1, -1]
-            for param, payload in (net.textures or {}).items():
-                slot = _TEX_SLOTS.get(param)
-                if slot is None or payload is None:
+            uvxfs = [(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)] * 5
+            wraps = [(0, 0)] * 5
+            for slot in range(5):
+                desc = net.texture_for_slot(slot)
+                if desc is None:
+                    continue
+                payload = normalized_payload(desc, slot)
+                if payload is None:
                     continue
                 slots[slot] = self.texture_registry.allocate(
                     np.asarray(payload) if not callable(payload) else payload)
+                uvxfs[slot] = desc.uv_transform
+                wraps[slot] = (desc.wrap_u, desc.wrap_v)
             mat_tex.append(slots)
+            mat_uvxf.append(uvxfs)
+            mat_wraps.append(wraps)
             mat_index[mid] = len(mats) - 1
             return mat_index[mid]
 
@@ -450,24 +435,32 @@ class HnRenderDelegate:
             slot += 1
 
         if not pos:
-            self._scene = None
-            return None
+            # empty stage: render background-only frames (mesh_id = -1
+            # everywhere) through the normal pipeline via one degenerate
+            # zero-area triangle — Hydrogent keeps rendering when the last
+            # Rprim is removed (HnRenderDelegate::DestroyRprim)
+            pos.append(np.zeros((3, 3), np.float32))
+            nrm.append(np.tile(np.array([[0, 0, 1]], np.float32), (3, 1)))
+            uv.append(np.zeros((3, 2), np.float32))
+            tan.append(np.tile(np.array([[1, 0, 0, 1]], np.float32), (3, 1)))
+            idx.append(np.array([[0, 1, 2]], np.int32))
+            vnode.append(np.zeros(3, np.int32))
+            tmat.append(np.zeros(1, np.int32))
+            tds.append(np.zeros(1, bool))
+            node_m.append(np.eye(4, dtype=np.float32))
         if not mats:
             mats.append(PBRMaterialBasicAttribs.create())
             mat_tex.append([-1] * 5)
+            mat_uvxf.append([(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)] * 5)
+            mat_wraps.append([(0, 0)] * 5)
         # texture registry commit: budgeted atlas build (HnTextureRegistry)
         self._atlas = self.texture_registry.commit()
         tex_kwargs = {}
         if self._atlas is not None and any(t >= 0 for row in mat_tex for t in row):
-            m = len(mats)
-            tex_ids = np.asarray(mat_tex, np.int32)
-            xf = np.zeros((m, 5, 6), np.float32)
-            xf[:, :, 0] = 1.0   # identity 2x2 scale-rotation
-            xf[:, :, 3] = 1.0
             tex_kwargs = dict(
-                tex_ids=jnp.asarray(tex_ids),
-                tex_uv_transform=jnp.asarray(xf),
-                tex_wraps=jnp.zeros((m, 5, 2), jnp.int32))
+                tex_ids=jnp.asarray(np.asarray(mat_tex, np.int32)),
+                tex_uv_transform=jnp.asarray(np.asarray(mat_uvxf, np.float32)),
+                tex_wraps=jnp.asarray(np.asarray(mat_wraps, np.int32)))
         nm = jnp.asarray(np.stack(node_m))
         self._scene = ScenePrimitives(
             positions=jnp.asarray(np.concatenate(pos)),
@@ -625,13 +618,12 @@ def _area_normals(points: np.ndarray, indices: np.ndarray) -> np.ndarray:
 
 
 def bind_usd():
-    """Returns a pxr.HdRenderDelegate subclass bound to HnRenderDelegate when
-    OpenUSD is importable; raises ImportError otherwise (pxr is not shipped
-    in this image — this is the integration point for USD environments)."""
-    from pxr import Hd  # noqa: F401  (ImportError when absent)
-    raise NotImplementedError(
-        "pxr detected but the HdRenderDelegate adapter is not yet wired; "
-        "use HnRenderDelegate's prim API directly")
+    """Returns the bound pxr.HdRenderDelegate adapter classes when OpenUSD is
+    importable; raises ImportError otherwise.  The adapter itself lives in
+    usd_adapter.py and is structurally tested against a fake-pxr shim
+    (tests/test_usd_adapter.py) since pxr is not shipped in this image."""
+    from diligentfx_tpu.hydrogent.usd_adapter import bind_usd as _bind
+    return _bind()
 
 
 @_functools.partial(_jax.jit, static_argnames=("width", "height", "cfg",

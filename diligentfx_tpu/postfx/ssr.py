@@ -87,7 +87,17 @@ def _march(depth_mips, origin_uvz: Array, dir_uvz: Array, steps: int,
     secant step on the already-gathered bracket values plus one bilinear tap
     on the fine buffer (vs a 6-iteration binary search = 6 more gathers)."""
     from diligentfx_tpu.ops.sampling import point_sample
-    coarse = depth_mips[min(coarse_mip, len(depth_mips) - 1)]
+    # the Pallas march needs the whole table in one 128-lane extent
+    # (PERF_NOTES.md: Mosaic per-lane gather range); walk down the pyramid
+    # until it fits — marching a coarser mip at higher march resolution
+    # keeps the zero-HBM-gather path at ANY resolution divisor, and the
+    # two-stage secant (coarse bracket + fine-buffer correction below)
+    # recovers the precision the coarser table loses.
+    cm = min(coarse_mip, len(depth_mips) - 1)
+    if use_pallas:
+        while cm < len(depth_mips) - 1 and depth_mips[cm].shape[1] > 128:
+            cm += 1
+    coarse = depth_mips[cm]
     fine = depth_mips[0]
     dt = 1.0 / steps
 

@@ -82,10 +82,15 @@ def test_visibility_and_destroy():
     assert d.read_rprim_id(64, 64) == 0
     mesh.set_visibility(False)
     d._scene_dirty = True
+    # hiding the last Rprim keeps rendering background-only frames
+    # (HnRenderDelegate::DestroyRprim keeps the frame loop alive)
     out = d.execute(128, 128)
-    assert out is None or d._scene is None
+    assert out is not None
+    assert d.read_rprim_id(64, 64) == -1
     d.destroy_prim("/World/tri")
     assert d.get_memory_stats().num_meshes == 0
+    out = d.execute(128, 128)
+    assert out is not None and np.isfinite(np.asarray(out.color)).all()
 
 
 def test_geometry_modes_render():
