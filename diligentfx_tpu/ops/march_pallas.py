@@ -1,11 +1,21 @@
 """Pallas SSR hi-Z march — the coarse depth mip lives ENTIRELY in VMEM.
 
-The XLA batched march gathers (steps+1) x (h, w) rows from a ~32 KB coarse
-mip (~20 ms at 1080p/div4: gathers cost per ROW regardless of table size,
-PERF_NOTES.md).  Here each (8, 128) tile computes the affine step positions
-in-kernel and samples the VMEM-resident table with a row sweep + per-lane
-`take_along_axis` — no HBM gathers at all.  Returns the coarse bracket
-(t_lo, t_hit, hit); the fine-buffer secant stays outside (2 bilinear taps).
+Round-2 shape: fixed-step march, each step tapping the VMEM table with a
+per-ROW sweep (O(rows) selects per tap) — measured ~120 ms at 1080p/div2,
+the dominant SSR cost.  Round-3 shape: a row-DDA (this file) that mirrors
+the reference's hi-Z cell traversal (ScreenSpaceReflection.fx ray march /
+FFX-SSSR hierarchical traversal): v(t) is LINEAR in t, so a ray crosses
+each table row in at most one t-interval with a closed form.  Sweeping the
+R table rows ONCE (in any order — the intervals are disjoint, so a min over
+crossing t's is the first hit) costs 3 lane-gathers + ~20 VPU ops per row
+TOTAL for the whole march, independent of any step count: ~4x less work
+than 24 fixed steps x R-row taps, with exact per-row vertical resolution.
+
+Within a row the ray spans [u(tin), u(tout)]; depth is sampled at entry,
+midpoint, and exit (2 piecewise-linear sub-intervals).  Nearly-horizontal
+rays that traverse many columns inside one row are under-sampled in u —
+the same failure class as the fixed-step march's 24-sample budget, handled
+downstream by the fine-buffer secant + facing check + confidence fades.
 """
 from __future__ import annotations
 
@@ -22,73 +32,94 @@ TILE_H = 8
 TILE_W = 128
 
 
+def _dda_body(row2, t0, t1, has, ou, du, oz, dz, thick,
+              cols, t_lo_b, t_hit_b):
+    """One piecewise-linear sub-interval [t0, t1] against a broadcast table
+    row: crossing test + secant, folded into the running first-hit min."""
+    u0 = ou + du * t0
+    u1 = ou + du * t1
+    x0 = jnp.clip(jnp.floor(u0 * cols).astype(jnp.int32), 0, cols - 1)
+    x1 = jnp.clip(jnp.floor(u1 * cols).astype(jnp.int32), 0, cols - 1)
+    d0 = jnp.take_along_axis(row2, x0, axis=1)
+    d1 = jnp.take_along_axis(row2, x1, axis=1)
+    z0 = oz + dz * t0
+    z1 = oz + dz * t1
+    f0 = z0 - d0
+    f1 = z1 - d1
+    # front-to-back crossing within the acceptance window (same semantics
+    # as the fixed-step march: in front at t0, behind within thickness +
+    # the sub-interval's own z advance at t1)
+    slop = jnp.abs(dz) * (t1 - t0)
+    inside = (u0 > 0.0) & (u0 < 1.0) & (u1 > 0.0) & (u1 < 1.0)
+    cross = has & inside & (f0 <= 0.0) & (f1 > 0.0) & (f1 < thick + slop)
+    denom = f1 - f0
+    frac = jnp.where(jnp.abs(denom) > 1e-12, -f0 / denom, 1.0)
+    t_star = t0 + jnp.clip(frac, 0.0, 1.0) * (t1 - t0)
+    upd = cross & (t_star < t_hit_b)
+    t_hit_b = jnp.where(upd, t_star, t_hit_b)
+    t_lo_b = jnp.where(upd, t0, t_lo_b)
+    return t_lo_b, t_hit_b
+
+
 def _march_kernel(coarse_ref, o_ref, d_ref, sc_ref,
                   tlo_ref, thit_ref, hit_ref,
-                  *, steps: int, rows: int, cols: int):
+                  *, rows: int, cols: int):
     """o_ref/d_ref: (3, 8, 128) origin/dir in (u, v, ndc_z); sc_ref: (1, 1)
     SMEM [thickness_ndc]; coarse_ref: (rows_pad, 128) min-depth mip."""
     ou, ov, oz = o_ref[0], o_ref[1], o_ref[2]
     du, dv, dz = d_ref[0], d_ref[1], d_ref[2]
     thick = sc_ref[0, 0]
-    dt = 1.0 / steps
-    step_dz = jnp.abs(dz) * dt
 
-    def tap(u, v):
-        # nearest tap of the VMEM table at uv in [0,1]² (point_sample
-        # semantics: floor(u * size), clamped)
-        xi = jnp.clip(jnp.floor(u * cols).astype(jnp.int32), 0, cols - 1)
-        yi = jnp.clip(jnp.floor(v * rows).astype(jnp.int32), 0, rows - 1)
+    eps = 1e-7
+    safe_dv = jnp.where(jnp.abs(dv) > eps, dv, eps)
+    inv_dv = 1.0 / safe_dv
+    flat = jnp.abs(dv) <= eps
+    # the row the (nearly-)horizontal ray lives in for its whole length
+    home_row = jnp.clip(jnp.floor(ov * rows).astype(jnp.int32), 0, rows - 1)
 
-        def body(r, acc):
-            # full 128-lane operand/index shapes — the one per-lane gather
-            # Mosaic lowers (range 128); xi < cols so pad lanes never win
-            row = coarse_ref[r]                           # (128,)
-            row2 = jnp.broadcast_to(row[None, :], (TILE_H, TILE_W))
-            g = jnp.take_along_axis(row2, xi, axis=1)
-            return jnp.where(yi == r, g, acc)
+    def body(r, carry):
+        t_lo_b, t_hit_b = carry
+        row = coarse_ref[r]                                # (128,)
+        row2 = jnp.broadcast_to(row[None, :], (TILE_H, TILE_W))
+        rf = r.astype(jnp.float32)
+        ta = (rf / rows - ov) * inv_dv
+        tb = ((rf + 1.0) / rows - ov) * inv_dv
+        tin = jnp.clip(jnp.minimum(ta, tb), 0.0, 1.0)
+        tout = jnp.clip(jnp.maximum(ta, tb), 0.0, 1.0)
+        has = (tout > tin) & ~flat
+        in_home = flat & (home_row == r)
+        tin = jnp.where(in_home, 0.0, tin)
+        tout = jnp.where(in_home, 1.0, tout)
+        has = has | in_home
+        tm = 0.5 * (tin + tout)
+        t_lo_b, t_hit_b = _dda_body(row2, tin, tm, has, ou, du, oz, dz,
+                                    thick, cols, t_lo_b, t_hit_b)
+        t_lo_b, t_hit_b = _dda_body(row2, tm, tout, has, ou, du, oz, dz,
+                                    thick, cols, t_lo_b, t_hit_b)
+        return t_lo_b, t_hit_b
 
-        return jax.lax.fori_loop(0, rows, body,
-                                 jnp.zeros((TILE_H, TILE_W), jnp.float32))
-
-    found = jnp.zeros((TILE_H, TILE_W), jnp.bool_)
-    i0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    f_prev = (oz - tap(ou, ov))
-    for s in range(1, steps + 1):
-        t = s * dt
-        pu = ou + du * t
-        pv = ov + dv * t
-        pz = oz + dz * t
-        f = pz - tap(pu, pv)
-        inside = (pu > 0) & (pu < 1) & (pv > 0) & (pv < 1)
-        cross = ((f > 0) & (f_prev <= 0)
-                 & (f < thick + step_dz) & inside & ~found)
-        i0 = jnp.where(cross, jnp.float32(s - 1), i0)
-        # secant fraction on the coarse bracket, recorded at first hit
-        denom = f - f_prev
-        frac = jnp.where(jnp.abs(denom) > 1e-12, -f_prev / denom, 1.0)
-        frac = jnp.clip(frac, 0.0, 1.0)
-        thit_new = (jnp.float32(s - 1) + frac) * dt
-        if s == 1:
-            t_hit = jnp.where(cross, thit_new, 1.0)
-        else:
-            t_hit = jnp.where(cross, thit_new, t_hit)
-        found = found | cross
-        f_prev = f
-
-    tlo_ref[...] = i0 * dt
-    thit_ref[...] = t_hit
+    init = (jnp.full((TILE_H, TILE_W), 2.0, jnp.float32),
+            jnp.full((TILE_H, TILE_W), 2.0, jnp.float32))
+    t_lo, t_hit = jax.lax.fori_loop(0, rows, body, init)
+    found = t_hit < 1.5
+    tlo_ref[...] = jnp.where(found, t_lo, 0.0)
+    thit_ref[...] = jnp.where(found, t_hit, 1.0)
     hit_ref[...] = found.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("steps",))
 def march_small_table_pallas(coarse: Array, origin_uvz: Array, dir_uvz: Array,
-                             thickness_ndc, *, steps: int):
-    """Coarse SSR march against a VMEM-resident min-depth table.
+                             thickness_ndc, *, steps: int = 0):
+    """Row-DDA SSR march against a VMEM-resident min-depth table.
 
     coarse: (rows, cols) with cols <= 128; origin/dir: (h, w, 3) in
     (u, v, ndc_z); thickness_ndc: scalar.  h % 8 == 0, w % 128 == 0.
-    Returns (t_lo (h, w), t_hit (h, w), hit (h, w) bool) — the same coarse
-    bracket `_march` computes, for the fine secant outside."""
+    `steps` is accepted for interface compatibility and ignored — the DDA's
+    effective resolution is the table's row count (2 piecewise-linear
+    sub-intervals per crossed row).
+    Returns (t_lo (h, w), t_hit (h, w), hit (h, w) bool) — the coarse
+    bracket for the fine-buffer secant outside."""
+    del steps
     rows, cols = coarse.shape
     assert cols <= TILE_W, cols
     h, w = origin_uvz.shape[:2]
@@ -99,8 +130,7 @@ def march_small_table_pallas(coarse: Array, origin_uvz: Array, dir_uvz: Array,
     d_cf = jnp.moveaxis(dir_uvz, -1, 0)
     sc = jnp.reshape(jnp.asarray(thickness_ndc, jnp.float32), (1, 1))
     tiles_x = w // TILE_W
-    kernel = functools.partial(_march_kernel, steps=steps, rows=rows,
-                               cols=cols)
+    kernel = functools.partial(_march_kernel, rows=rows, cols=cols)
     t_lo, t_hit, hit = pl.pallas_call(
         kernel,
         grid=(tiles_x * (h // TILE_H),),
@@ -129,3 +159,55 @@ def march_small_table_pallas(coarse: Array, origin_uvz: Array, dir_uvz: Array,
         ],
     )(tab, o_cf, d_cf, sc)
     return t_lo, t_hit, hit > 0.5
+
+
+def march_dda_reference(coarse, origin_uvz, dir_uvz, thickness_ndc):
+    """Pure-jnp reference of the row-DDA (same math as the kernel) for
+    parity testing the Pallas lowering."""
+    rows, cols = coarse.shape
+    ou, ov, oz = (origin_uvz[..., i] for i in range(3))
+    du, dv, dz = (dir_uvz[..., i] for i in range(3))
+    eps = 1e-7
+    safe_dv = jnp.where(jnp.abs(dv) > eps, dv, eps)
+    inv_dv = 1.0 / safe_dv
+    flat = jnp.abs(dv) <= eps
+    home_row = jnp.clip(jnp.floor(ov * rows).astype(jnp.int32), 0, rows - 1)
+    t_lo_b = jnp.full(ou.shape, 2.0, jnp.float32)
+    t_hit_b = jnp.full(ou.shape, 2.0, jnp.float32)
+
+    def sub(row_vals, t0, t1, has, t_lo_b, t_hit_b):
+        u0 = ou + du * t0
+        u1 = ou + du * t1
+        x0 = jnp.clip(jnp.floor(u0 * cols).astype(jnp.int32), 0, cols - 1)
+        x1 = jnp.clip(jnp.floor(u1 * cols).astype(jnp.int32), 0, cols - 1)
+        d0 = row_vals[x0]
+        d1 = row_vals[x1]
+        f0 = oz + dz * t0 - d0
+        f1 = oz + dz * t1 - d1
+        slop = jnp.abs(dz) * (t1 - t0)
+        inside = (u0 > 0.0) & (u0 < 1.0) & (u1 > 0.0) & (u1 < 1.0)
+        cross = (has & inside & (f0 <= 0.0) & (f1 > 0.0)
+                 & (f1 < thickness_ndc + slop))
+        denom = f1 - f0
+        frac = jnp.where(jnp.abs(denom) > 1e-12, -f0 / denom, 1.0)
+        t_star = t0 + jnp.clip(frac, 0.0, 1.0) * (t1 - t0)
+        upd = cross & (t_star < t_hit_b)
+        return (jnp.where(upd, t0, t_lo_b), jnp.where(upd, t_star, t_hit_b))
+
+    for r in range(rows):
+        rf = float(r)
+        ta = (rf / rows - ov) * inv_dv
+        tb = ((rf + 1.0) / rows - ov) * inv_dv
+        tin = jnp.clip(jnp.minimum(ta, tb), 0.0, 1.0)
+        tout = jnp.clip(jnp.maximum(ta, tb), 0.0, 1.0)
+        has = (tout > tin) & ~flat
+        in_home = flat & (home_row == r)
+        tin = jnp.where(in_home, 0.0, tin)
+        tout = jnp.where(in_home, 1.0, tout)
+        has = has | in_home
+        tm = 0.5 * (tin + tout)
+        t_lo_b, t_hit_b = sub(coarse[r], tin, tm, has, t_lo_b, t_hit_b)
+        t_lo_b, t_hit_b = sub(coarse[r], tm, tout, has, t_lo_b, t_hit_b)
+    found = t_hit_b < 1.5
+    return (jnp.where(found, t_lo_b, 0.0), jnp.where(found, t_hit_b, 1.0),
+            found)

@@ -141,11 +141,17 @@ def _march(depth_mips, origin_uvz: Array, dir_uvz: Array, steps: int,
         t_lo = i0.astype(jnp.float32) * dt
         t_hit = t_lo + jnp.clip(frac, 0.0, 1.0) * dt
 
-    # fine-buffer correction: ONE batched bilinear gather taps the fine depth
-    # at both bracket ends; a second secant runs purely on fine values
+    # fine-buffer correction: ONE batched gather taps the fine depth at both
+    # bracket ends; a second secant runs purely on fine values.  The Pallas
+    # perf path uses point taps (2 gathers); bilinear (8 gathers, ~3x the
+    # pass cost at div2) only improves the bracket by sub-texel smoothing
+    # the secant already provides.
     p_pair = (origin_uvz[None]
               + dir_uvz[None] * jnp.stack([t_lo, t_hit])[..., None])  # (2,h,w,3)
-    d_fine = bilinear_sample(fine[..., None], p_pair[..., :2])[..., 0]
+    if use_pallas:
+        d_fine = point_sample(fine[..., None], p_pair[..., :2])[..., 0]
+    else:
+        d_fine = bilinear_sample(fine[..., None], p_pair[..., :2])[..., 0]
     f_lo = p_pair[0, ..., 2] - d_fine[0]
     f_hi = p_pair[1, ..., 2] - d_fine[1]
     denom = f_hi - f_lo
@@ -213,7 +219,10 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
                 half_resolution: bool = False,
                 resolution_divisor: int = 0,
                 disocclusion: Optional[Array] = None,
-                use_pallas: bool = False) -> Tuple[Array, SSRState]:
+                use_pallas: bool = False,
+                enable_spatial: bool = True,
+                enable_temporal: bool = True,
+                enable_bilateral: bool = True) -> Tuple[Array, SSRState]:
     """Full SSR: returns ((H, W, 4) radiance+confidence, new state).
 
     color: scene radiance to reflect (pre-tonemap); normal_vs view-space.
@@ -316,23 +325,42 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
     radiance = jnp.concatenate([refl * conf, conf], axis=-1)
 
     # spatial reconstruction: small cross-bilateral average for rough pixels
-    rad_blur = radiance
-    for dxy in ((0, 1), (0, -1), (1, 0), (-1, 0)):
-        rad_blur = rad_blur + jnp.roll(radiance, dxy, axis=(0, 1))
-    rad_blur = rad_blur / 5.0
-    blur_amt = saturate(rough_r * 4.0)
-    radiance = radiance + (rad_blur - radiance) * blur_amt
+    if enable_spatial:
+        rad_blur = radiance
+        for dxy in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            rad_blur = rad_blur + jnp.roll(radiance, dxy, axis=(0, 1))
+        rad_blur = rad_blur / 5.0
+        blur_amt = saturate(rough_r * 4.0)
+        radiance = radiance + (rad_blur - radiance) * blur_amt
 
     # temporal accumulation at the PROCESSING resolution — the history
     # buffer and its reprojection gathers live on the (h, w) grid, which
     # is d^2 cheaper than full-res accumulation and just as stable (the
     # upsample after it smooths residual quarter-res ghosting).
-    if state is not None and motion is not None:
+    if enable_temporal and state is not None and motion is not None:
         motion_r = motion[::d, ::d] if d > 1 else motion
         xg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
         yg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
         prev_uv = jnp.stack([xg, yg], axis=-1) - motion_r
-        hist = bilinear_sample(state.radiance, prev_uv)
+        if use_pallas and d <= 2:
+            # bounded-offset windowed warp (zero HBM gathers) — the TAA
+            # history pattern (ops/warp_pallas.py); offsets beyond the halo
+            # clamp, and those pixels are rejected below anyway (off-screen
+            # prev_uv or disocclusion).  d >= 4 keeps the XLA bilinear: the
+            # remote compiler emits a faulting program when this warp joins
+            # the full div4 SSR graph (kernel-standalone and div2 are fine;
+            # deterministic UNAVAILABLE fault, cache-independent — see
+            # PERF_NOTES.md round 3), and the quarter-res history gather is
+            # cheap anyway.
+            from diligentfx_tpu.ops.warp_pallas import warp_bilinear_pallas
+            off = -motion_r * jnp.array([w, h], jnp.float32)
+            ph, pw = (-h) % 8, (-w) % 128
+            hist_p = warp_bilinear_pallas(
+                jnp.pad(state.radiance, ((0, ph), (0, pw), (0, 0))),
+                jnp.pad(off, ((0, ph), (0, pw), (0, 0))))
+            hist = hist_p[:h, :w]
+        else:
+            hist = bilinear_sample(state.radiance, prev_uv)
         # variance-guided accumulation (ComputeTemporalAccumulation,
         # ScreenSpaceReflection.hpp:152): clamp the reprojected history to
         # the current frame's 3×3 distribution so stale reflections can't
@@ -351,7 +379,8 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
                       1.0, 1.0 - settings.temporal_stability_factor)
         radiance = hist + (radiance - hist) * a
     # bilateral cleanup (the reference's 7th pass): roughness/depth-aware
-    radiance = bilateral_cleanup(radiance, depth_r, rough_r, camera)
+    if enable_bilateral:
+        radiance = bilateral_cleanup(radiance, depth_r, rough_r, camera)
     new_state = SSRState(radiance=radiance)
 
     if half_resolution:

@@ -275,11 +275,14 @@ def test_dof_near_field_bleeds_far_field_does_not():
     assert out_b[64, 76, 0] < 0.05, "far field must not bleed over focus"
 
 
-def test_march_pallas_matches_xla():
-    """The VMEM-resident Pallas coarse march must agree with the XLA batched
-    march (same crossing test, first-hit tie-break, and secant bracket)."""
+def test_march_pallas_matches_reference():
+    """The Pallas row-DDA march must lower to exactly the reference DDA
+    math (march_dda_reference), and broadly agree with the XLA fixed-step
+    march (a different discretization of the same crossing test)."""
     import functools
     from jax.experimental import pallas as pl
+    from diligentfx_tpu.ops.march_pallas import (march_dda_reference,
+                                                 march_small_table_pallas)
     from diligentfx_tpu.postfx.ssr import _march, build_min_depth_pyramid
     rng = np.random.default_rng(5)
     h, w = 16, 128
@@ -293,13 +296,32 @@ def test_march_pallas_matches_xla():
     d = rng.uniform(-0.6, 0.6, (h, w, 3)).astype(np.float32)
     d[..., 2] = rng.uniform(0.0, 0.6, (h, w))
     o, d = jnp.asarray(o), jnp.asarray(d)
+    coarse = mips[-1]
     import unittest.mock as mock
     with mock.patch.object(pl, "pallas_call",
                            functools.partial(pl.pallas_call, interpret=True)):
-        uvz_p, hit_p = _march(mips, o, d, 12, jnp.float32(0.05),
-                              use_pallas=True)
-    uvz_x, hit_x = _march(mips, o, d, 12, jnp.float32(0.05))
-    np.testing.assert_array_equal(np.asarray(hit_p), np.asarray(hit_x))
-    hp, hx = np.asarray(uvz_p), np.asarray(uvz_x)
-    hm = np.asarray(hit_x)
-    np.testing.assert_allclose(hp[hm], hx[hm], atol=1e-5)
+        tlo_p, thit_p, hit_p = march_small_table_pallas(
+            coarse, o, d, jnp.float32(0.05))
+    tlo_r, thit_r, hit_r = march_dda_reference(coarse, o, d,
+                                               jnp.float32(0.05))
+    np.testing.assert_array_equal(np.asarray(hit_p), np.asarray(hit_r))
+    np.testing.assert_allclose(np.asarray(thit_p), np.asarray(thit_r),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tlo_p), np.asarray(tlo_r),
+                               atol=1e-6)
+
+    # cross-check against the fixed-step XLA march: different sampling of
+    # the same crossing predicate — hit masks must broadly agree and hit
+    # positions must be close where both agree (one coarse cell).
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        uvz_p, hitm_p = _march(mips, o, d, 48, jnp.float32(0.05),
+                               use_pallas=True)
+    uvz_x, hitm_x = _march(mips, o, d, 48, jnp.float32(0.05))
+    hp, hx = np.asarray(hitm_p), np.asarray(hitm_x)
+    agree = (hp == hx).mean()
+    assert agree > 0.85, f"hit masks diverge: {agree:.2%}"
+    both = hp & hx
+    if both.any():
+        dp = np.abs(np.asarray(uvz_p)[both] - np.asarray(uvz_x)[both])
+        assert np.median(dp[..., :2]) < 0.05, np.median(dp, axis=0)
