@@ -97,7 +97,7 @@ def main():
         ssr_use_pallas=not args.smoke,
         fast_env_taps=not args.smoke,
         enable_ssr=True, ssr_half_resolution=True,
-        ssr_resolution_divisor=2 if args.smoke else 4,
+        ssr_resolution_divisor=2,
         enable_taa=True, enable_bloom=True, enable_dof=False,
         taa_feature_flags=(TAAFeatureFlags.YCOCG_COLOR_SPACE
                            | TAAFeatureFlags.GAUSSIAN_WEIGHTING

@@ -230,7 +230,6 @@ class HnRenderDelegateCreateInfo:
     """HnRenderDelegate::CreateInfo (interface:159-278, the TPU-relevant subset)."""
     atlas_size: int = 1024
     texture_load_budget_bytes: int = 32 << 20
-    multi_draw_batch_size: int = 65536
     geometry_load_budget_bytes: int = 64 << 20
     oit_layer_count: int = 4
     enable_shadows: bool = False

@@ -453,19 +453,26 @@ def _frame_fx(begin: dict, scene, state: FrameState, ibl_maps,
         winv_b = jnp.where(jnp.abs(clip_b[:, 3]) > 1e-12, 1.0 / clip_b[:, 3], 0.0)
         blend_scene = scene._replace(tri_material=scene.blend_tri_material,
                                      indices=scene.blend_indices)
-        tri_alpha = scene.materials.base_color_factor[
-            scene.blend_tri_material][:, 3]
+        blend_bc = scene.materials.base_color_factor[scene.blend_tri_material]
+        tri_alpha = blend_bc[:, 3]
+        # tail color: the dropped fragment's own unshaded base color tinted
+        # by its emissive-free diffuse — the OIT.fxh RGBA8 tail stores the
+        # fragment's shaded color; base color is the visibility-buffer
+        # analogue (the tail is never shaded)
         kl = oit.rasterize_klayers(clip_b, scene.blend_indices,
                                    width=pad_w, height=pad_h, cfg=cfg,
                                    num_layers=ci.oit_layer_count,
-                                   tri_alpha=tri_alpha)
+                                   tri_alpha=tri_alpha,
+                                   tri_rgb=blend_bc[:, :3])
         kl = oit.KLayerBuffer(
             depth=kl.depth[:, :height, :width],
             tri_id=kl.tri_id[:, :height, :width],
             bary=kl.bary[:, :height, :width],
             overflow=kl.overflow[:height, :width],
             tail_alpha=(kl.tail_alpha[:height, :width]
-                        if kl.tail_alpha is not None else None))
+                        if kl.tail_alpha is not None else None),
+            tail_color=(kl.tail_color[:height, :width]
+                        if kl.tail_color is not None else None))
         lcol, lalpha = oit.shade_klayers(blend_scene, info, ibl_maps, kl,
                                          wp, wn, winv_b, use_ibl=use_ibl)
         color = oit.composite_klayers(color, gb.depth, kl, lcol, lalpha)

@@ -43,10 +43,6 @@ def _load():
     lib.dfx_triangulate_faces.argtypes = [
         ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p]
     lib.dfx_triangulate_faces.restype = i64
-    lib.dfx_build_draw_batches.argtypes = [
-        ctypes.c_void_p, i64, i64,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
-    lib.dfx_build_draw_batches.restype = i64
     _lib = lib
     return lib
 
@@ -172,31 +168,3 @@ def triangulate_faces(face_counts: np.ndarray,
     return out
 
 
-def build_draw_batches(state_keys: np.ndarray, max_batch: int = 65536
-                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Sort items by state key and emit contiguous batches
-    (HnRenderPass.cpp:595-686 analogue).
-    Returns (order, batch_starts, batch_counts)."""
-    state_keys = np.ascontiguousarray(state_keys, np.uint64)
-    n = len(state_keys)
-    order = np.empty(n, np.int32)
-    starts = np.empty(n, np.int32)
-    counts = np.empty(n, np.int32)
-    lib = _load()
-    if lib and n:
-        nb = lib.dfx_build_draw_batches(
-            state_keys.ctypes.data, n, max_batch,
-            order.ctypes.data, starts.ctypes.data, counts.ctypes.data)
-        return order, starts[:nb].copy(), counts[:nb].copy()
-    order = np.argsort(state_keys, kind="stable").astype(np.int32)
-    sk = state_keys[order]
-    starts_l, counts_l = [], []
-    i = 0
-    while i < n:
-        j = i
-        while j < n and sk[j] == sk[i] and (j - i) < max_batch:
-            j += 1
-        starts_l.append(i)
-        counts_l.append(j - i)
-        i = j
-    return order, np.asarray(starts_l, np.int32), np.asarray(counts_l, np.int32)

@@ -191,41 +191,6 @@ int64_t dfx_triangulate_faces(const int32_t* face_counts, int64_t num_faces,
 }
 
 // ---------------------------------------------------------------------------
-// Draw-batch building: sort items by state key, emit contiguous batches
-// (HnRenderPass draw-list sort + multi-draw batching)
-// ---------------------------------------------------------------------------
-
-// state_keys: per-item pipeline-state key; out_order: sorted item order;
-// out_batch_starts/counts sized num_items (worst case). Returns batch count.
-int64_t dfx_build_draw_batches(const uint64_t* state_keys, int64_t num_items,
-                               int64_t max_batch,
-                               int32_t* out_order,
-                               int32_t* out_batch_starts,
-                               int32_t* out_batch_counts) {
-    std::vector<int32_t> order(num_items);
-    for (int64_t i = 0; i < num_items; ++i) order[i] = (int32_t)i;
-    std::stable_sort(order.begin(), order.end(),
-                     [&](int32_t a, int32_t b) {
-                         return state_keys[a] < state_keys[b];
-                     });
-    std::memcpy(out_order, order.data(), num_items * sizeof(int32_t));
-    int64_t nb = 0;
-    int64_t i = 0;
-    while (i < num_items) {
-        uint64_t key = state_keys[order[i]];
-        int64_t j = i;
-        while (j < num_items && state_keys[order[j]] == key &&
-               (j - i) < max_batch)
-            ++j;
-        out_batch_starts[nb] = (int32_t)i;
-        out_batch_counts[nb] = (int32_t)(j - i);
-        ++nb;
-        i = j;
-    }
-    return nb;
-}
-
-// ---------------------------------------------------------------------------
 // Interleave / pack vertex streams into a pooled buffer region
 // ---------------------------------------------------------------------------
 

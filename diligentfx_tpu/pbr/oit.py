@@ -37,11 +37,15 @@ class KLayerBuffer(NamedTuple):
     # accumulated opacity of the dropped fragments: 1 - prod(1 - a_i) over
     # the tail (the OIT.fxh tail average's attenuation term)
     tail_alpha: Optional[Array] = None
+    # alpha-weighted mean color of the DROPPED fragments themselves (the
+    # OIT.fxh RGBA8 tail average) — each overflow fragment contributes its
+    # own color, carried through the insertion network alongside its alpha
+    tail_color: Optional[Array] = None  # (H, W, 3)
 
 
 def _klayer_raster_tiles(setup, candidates, width, height,
                          cfg: RasterizerConfig, num_layers: int,
-                         tri_alpha=None):
+                         tri_alpha=None, tri_rgb=None):
     tiles_x = width // cfg.tile_w
     tiles_y = height // cfg.tile_h
     num_tiles = tiles_x * tiles_y
@@ -63,16 +67,28 @@ def _klayer_raster_tiles(setup, candidates, width, height,
 
     k = num_layers
 
+    # extra per-fragment channels carried through the insertion network:
+    # column 0 = alpha, columns 1:4 = unshaded fragment color (for the
+    # OIT.fxh tail average — the DROPPED fragment's own color must reach
+    # the tail, so color swaps with the fragment exactly like alpha)
+    tri_extra = None
+    if tri_alpha is not None:
+        cols = [tri_alpha]
+        if tri_rgb is not None:
+            cols += [tri_rgb[:, 0], tri_rgb[:, 1], tri_rgb[:, 2]]
+        tri_extra = jnp.stack(cols, axis=-1)                 # (T, E)
+    n_ex = tri_extra.shape[1] if tri_extra is not None else 0
+
     def step(state, cand_k):
-        if tri_alpha is not None:
-            zs, ids, b0s, b1s, als, ovf, ttrans = state
+        if tri_extra is not None:
+            zs, ids, b0s, b1s, exs, ovf, ttrans, trgb, twt = state
         else:
             zs, ids, b0s, b1s, ovf, ttrans = state
-            als = None
+            exs = trgb = twt = None
         live = cand_k >= 0
         s = setup[jnp.maximum(cand_k, 0)]                    # (tiles, K, 16)
-        if tri_alpha is not None:
-            alpha_k = tri_alpha[jnp.maximum(cand_k, 0)]      # (tiles, K)
+        if tri_extra is not None:
+            extra_k = tri_extra[jnp.maximum(cand_k, 0)]      # (tiles, K, E)
 
         def plane(ai, bi, ci):
             return (s[..., ai, None, None] * px[:, None]
@@ -94,8 +110,8 @@ def _klayer_raster_tiles(setup, candidates, width, height,
             cid = jnp.where(cover[:, c], orig_ids[:, c, None, None], -1)
             cb0 = lo0[:, c]
             cb1 = lo1[:, c]
-            ca = (alpha_k[:, c, None, None] * jnp.ones_like(cb0)
-                  if tri_alpha is not None else jnp.zeros_like(cb0))
+            cex = ([extra_k[:, c, e, None, None] * jnp.ones_like(cb0)
+                    for e in range(n_ex)] if tri_extra is not None else None)
             for slot in range(k):
                 closer = cz < zs[slot]
                 nz = jnp.where(closer, cz, zs[slot])
@@ -110,47 +126,64 @@ def _klayer_raster_tiles(setup, candidates, width, height,
                 ids = [*ids[:slot], nid, *ids[slot + 1:]]
                 b0s = [*b0s[:slot], nb0, *b0s[slot + 1:]]
                 b1s = [*b1s[:slot], nb1, *b1s[slot + 1:]]
-                if tri_alpha is not None:
-                    # alpha swaps WITH the fragment: when a nearer candidate
-                    # displaces a layer, the displaced fragment's own alpha
-                    # must be the one that eventually falls into the tail
-                    # (ADVICE r2: tail opacity was attributed to the
+                if tri_extra is not None:
+                    # extras swap WITH the fragment: when a nearer candidate
+                    # displaces a layer, the displaced fragment's own
+                    # alpha/color must be what eventually falls into the
+                    # tail (ADVICE r2: tail opacity was attributed to the
                     # inserted candidate, not the dropped fragment)
-                    na = jnp.where(closer, ca, als[slot])
-                    ca = jnp.where(closer, als[slot], ca)
-                    als = [*als[:slot], na, *als[slot + 1:]]
+                    for e in range(n_ex):
+                        ne = jnp.where(closer, cex[e], exs[e][slot])
+                        cex[e] = jnp.where(closer, exs[e][slot], cex[e])
+                        exs[e] = [*exs[e][:slot], ne, *exs[e][slot + 1:]]
             # whatever is left in the candidate after K swaps overflowed:
-            # count it, and accumulate its opacity into the tail
+            # count it, and accumulate its opacity + premultiplied color
+            # into the tail (OIT.fxh:1-26 RGBA8 tail average)
             dropped = jnp.isfinite(cz) & (cid >= 0)
             ovf = ovf + dropped.astype(jnp.int32)
-            if tri_alpha is not None:
-                ttrans = ttrans * jnp.where(dropped, 1.0 - ca, 1.0)
-        if tri_alpha is not None:
-            return (zs, ids, b0s, b1s, als, ovf, ttrans), None
+            if tri_extra is not None:
+                ca = cex[0]
+                w = jnp.where(dropped, ca, 0.0)
+                ttrans = ttrans * (1.0 - w)
+                twt = twt + w
+                if n_ex > 1:
+                    trgb = [trgb[i] + w * cex[1 + i] for i in range(3)]
+        if tri_extra is not None:
+            return (zs, ids, b0s, b1s, exs, ovf, ttrans, trgb, twt), None
         return (zs, ids, b0s, b1s, ovf, ttrans), None
 
-    init = (
-        [jnp.full((num_tiles, th, tw), jnp.inf, jnp.float32) for _ in range(k)],
-        [jnp.full((num_tiles, th, tw), -1, jnp.int32) for _ in range(k)],
-        [jnp.zeros((num_tiles, th, tw), jnp.float32) for _ in range(k)],
-        [jnp.zeros((num_tiles, th, tw), jnp.float32) for _ in range(k)],
-    )
-    if tri_alpha is not None:
-        init = init + (
-            [jnp.zeros((num_tiles, th, tw), jnp.float32) for _ in range(k)],)
+    def planes(fill=0.0, dtype=jnp.float32):
+        return [jnp.full((num_tiles, th, tw), fill, dtype) for _ in range(k)]
+
+    init = (planes(jnp.inf), planes(-1, jnp.int32), planes(), planes())
+    if tri_extra is not None:
+        init = init + ([planes() for _ in range(n_ex)],)
     init = init + (
         jnp.zeros((num_tiles, th, tw), jnp.int32),
         jnp.ones((num_tiles, th, tw), jnp.float32),
     )
+    if tri_extra is not None:
+        init = init + (
+            [jnp.zeros((num_tiles, th, tw), jnp.float32) for _ in range(3)],
+            jnp.zeros((num_tiles, th, tw), jnp.float32),
+        )
     cand_steps = candidates.reshape(num_tiles, n_steps, chunk).transpose(1, 0, 2)
     fin, _ = jax.lax.scan(step, init, cand_steps)
     zs, ids, b0s, b1s = fin[:4]
-    ovf, ttrans = fin[-2:]
+    if tri_extra is not None:
+        ovf, ttrans, trgb, twt = fin[5], fin[6], fin[7], fin[8]
+    else:
+        ovf, ttrans = fin[-2:]
+        trgb = twt = None
 
     def untile(x):
         c = x.reshape(tiles_y, tiles_x, th, tw).transpose(0, 2, 1, 3)
         return c.reshape(height, width)
 
+    tail_color = None
+    if tri_rgb is not None:
+        w = jnp.maximum(untile(twt), 1e-6)
+        tail_color = jnp.stack([untile(c) for c in trgb], axis=-1) / w[..., None]
     return KLayerBuffer(
         depth=jnp.stack([untile(z) for z in zs]),
         tri_id=jnp.stack([untile(i) for i in ids]),
@@ -158,6 +191,7 @@ def _klayer_raster_tiles(setup, candidates, width, height,
                         for a, b in zip(b0s, b1s)]),
         overflow=untile(ovf),
         tail_alpha=(1.0 - untile(ttrans)) if tri_alpha is not None else None,
+        tail_color=tail_color,
     )
 
 
@@ -166,20 +200,25 @@ def _klayer_raster_tiles(setup, candidates, width, height,
 def rasterize_klayers(clip: Array, indices: Array, *, width: int, height: int,
                       cfg: RasterizerConfig = RasterizerConfig(),
                       num_layers: int = 4,
-                      tri_alpha: Optional[Array] = None) -> KLayerBuffer:
+                      tri_alpha: Optional[Array] = None,
+                      tri_rgb: Optional[Array] = None) -> KLayerBuffer:
     """Rasterize (transparent) triangles keeping the K nearest fragments per
     pixel (UpdateOITLayers analogue; transparent geometry is double-sided).
 
     tri_alpha: optional (T,) per-triangle opacity — enables the OIT.fxh tail:
-    fragments dropped past K accumulate 1-prod(1-a) into KLayerBuffer.tail_alpha."""
+    fragments dropped past K accumulate 1-prod(1-a) into KLayerBuffer.tail_alpha.
+    tri_rgb: optional (T, 3) per-triangle color — additionally accumulates the
+    dropped fragments' alpha-weighted mean color into KLayerBuffer.tail_color
+    (the OIT.fxh RGBA8 tail average)."""
     setup, valid, bbox, _ = rz._triangle_setup(
         clip, indices, width, height,
         jnp.ones((indices.shape[0],), bool), True, 1e-3)
     candidates, _compact, _counts, *_ = rz._bin_triangles(
         valid, bbox, width, height, cfg)
     ta2 = jnp.tile(tri_alpha, 2) if tri_alpha is not None else None
+    tr2 = jnp.tile(tri_rgb, (2, 1)) if tri_rgb is not None else None
     return _klayer_raster_tiles(setup, candidates, width, height, cfg,
-                                num_layers, tri_alpha=ta2)
+                                num_layers, tri_alpha=ta2, tri_rgb=tr2)
 
 
 def resolve_alpha_mask(vb, clip: Array, scene, winv: Array, *,
@@ -311,16 +350,18 @@ def composite_klayers(opaque_color: Array, opaque_depth: Array,
         csum = csum + a * layer_colors[i]
         asum = asum + a
     # OIT.fxh tail semantics: fragments past K attenuate what is behind and
-    # add radiance approximated by the alpha-weighted mean of the kept
-    # layers' shaded colors (the reference averages the tail's own colors
-    # into an RGBA8 target; a visibility buffer has no shaded tail colors,
-    # so the kept-layer mean stands in — exact when the tail shades like
-    # its neighbors).
+    # add radiance from the tail average.  When the raster carried the
+    # dropped fragments' own colors (tail_color — the OIT.fxh RGBA8 tail
+    # average), use them directly; otherwise fall back to the alpha-weighted
+    # mean of the kept layers' shaded colors.
     if layers.tail_alpha is not None:
-        tail_color = csum / jnp.maximum(asum, 1e-6)
         ta = layers.tail_alpha[..., None]
-        any_kept = asum > 1e-6
-        ta = jnp.where(any_kept, ta, 0.0)
+        if layers.tail_color is not None:
+            tail_color = layers.tail_color
+        else:
+            tail_color = csum / jnp.maximum(asum, 1e-6)
+            any_kept = asum > 1e-6
+            ta = jnp.where(any_kept, ta, 0.0)
         out = out + transmittance * ta * tail_color
         transmittance = transmittance * (1.0 - ta)
     return out + transmittance * opaque_color

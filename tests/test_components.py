@@ -1,4 +1,4 @@
-"""Component tests: GBuffer, env map, bbox, grid, vector field, depth range,
+"""Component tests: env map, bbox, grid, vector field, depth range,
 selection jump-flood."""
 import jax.numpy as jnp
 import numpy as np
@@ -14,22 +14,6 @@ def make_camera(eye=(0, 2, 6)):
     view = m3.look_at(list(eye), [0, 0, 0])
     proj = m3.perspective(1.0, W / H, 0.5, 50.0)
     return CameraAttribs.create(view, proj, list(eye), 0.5, 50.0, W, H)
-
-
-def test_gbuffer_resize_clear_set():
-    from diligentfx_tpu.components.gbuffer import (GBuffer, GBufferElementDesc,
-                                                   make_frame_render_targets)
-    g = make_frame_render_targets(W, H)
-    assert g["depth"].shape == (H, W)
-    assert float(g["depth"][0, 0]) == 1.0
-    assert int(g["mesh_id"][0, 0]) == -1
-    g["scene_color"] = jnp.ones((H, W, 3))
-    with pytest.raises(ValueError):
-        g["scene_color"] = jnp.ones((H, W + 1, 3))
-    g.clear("scene_color")
-    assert float(g["scene_color"].max()) == 0.0
-    g.resize(32, 16)
-    assert g["normal"].shape == (16, 32, 3)
 
 
 def test_env_map_renderer():

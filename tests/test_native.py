@@ -64,21 +64,6 @@ def test_triangulate_faces():
     np.testing.assert_array_equal(tris[2], [4, 5, 6])
     np.testing.assert_array_equal(tris[-1], [9, 10, 11])
 
-
-def test_build_draw_batches():
-    keys = np.array([3, 1, 3, 2, 1, 1, 3], np.uint64)
-    order, starts, counts = binding.build_draw_batches(keys)
-    sorted_keys = keys[order]
-    assert (np.diff(sorted_keys.astype(np.int64)) >= 0).all()
-    # stable within equal keys
-    assert list(order[:3]) == [1, 4, 5]      # the three 1-keys in order
-    assert list(counts) == [3, 1, 3]
-    assert list(starts) == [0, 3, 4]
-    # max_batch splits runs
-    _, s2, c2 = binding.build_draw_batches(keys, max_batch=2)
-    assert list(c2) == [2, 1, 1, 2, 1]
-
-
 def test_content_hash_tail_bytes_enter_hash():
     """Regression (ADVICE r1): tails of 9..15 bytes overflowed an 8-byte
     buffer and bytes 8..n-1 never entered the hash (dedup collisions)."""

@@ -38,9 +38,6 @@ for _ in range(25):
 counts = np.array([3, 4, 5, 6], np.int32)
 idx = np.arange(counts.sum(), dtype=np.int32)
 binding.triangulate_faces(counts, idx)
-# draw batches
-keys = np.random.default_rng(0).integers(0, 50, 500).astype(np.uint64)
-binding.build_draw_batches(keys, max_batch=16)
 print("ASAN-CLEAN")
 """
 

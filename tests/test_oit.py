@@ -65,3 +65,40 @@ def test_composite_respects_opaque_depth():
     alphas = jnp.full((2, H, W, 1), 1.0)
     out = composite_klayers(opaque, opaque_depth, kl, colors, alphas)
     np.testing.assert_allclose(np.asarray(out)[H // 2, W // 2], 0.2, atol=1e-5)
+
+
+def test_tail_carries_dropped_fragments_own_color():
+    # 3 quads, K=2: the FARTHEST fragment (blue, submitted first so it is
+    # displaced by later nearer candidates) must fall into the tail with its
+    # OWN alpha and color (OIT.fxh RGBA8 tail average semantics)
+    verts, idx = stacked_quads([0.9, 0.2, 0.5])
+    tri_alpha = jnp.asarray([0.25, 0.5, 0.5], jnp.float32)
+    tri_rgb = jnp.asarray([[0.0, 0.0, 1.0],   # blue — the dropped one
+                           [1.0, 0.0, 0.0],
+                           [0.0, 1.0, 0.0]], jnp.float32)
+    kl = rasterize_klayers(verts, idx, width=W, height=H, cfg=CFG,
+                           num_layers=2, tri_alpha=tri_alpha, tri_rgb=tri_rgb)
+    c = (H // 2, W // 2)
+    assert [int(kl.tri_id[k][c]) for k in range(2)] == [1, 2]
+    assert int(kl.overflow[c]) == 1
+    np.testing.assert_allclose(float(kl.tail_alpha[c]), 0.25, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(kl.tail_color[c]), [0, 0, 1],
+                               atol=1e-6)
+
+
+def test_tail_color_composite_adds_dropped_radiance():
+    verts, idx = stacked_quads([0.9, 0.2, 0.5])
+    tri_alpha = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+    tri_rgb = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0],
+                           [0.0, 1.0, 0.0]], jnp.float32)
+    kl = rasterize_klayers(verts, idx, width=W, height=H, cfg=CFG,
+                           num_layers=2, tri_alpha=tri_alpha, tri_rgb=tri_rgb)
+    opaque = jnp.zeros((H, W, 3))
+    opaque_depth = jnp.ones((H, W))
+    colors = jnp.zeros((2, H, W, 3)).at[0].set(jnp.array([1.0, 0.0, 0.0])) \
+                                    .at[1].set(jnp.array([0.0, 1.0, 0.0]))
+    alphas = jnp.full((2, H, W, 1), 0.5)
+    out = composite_klayers(opaque, opaque_depth, kl, colors, alphas)
+    c = np.asarray(out)[H // 2, W // 2]
+    # front-to-back: .5 red + .25 green + tail (.5 blue at transmittance .25)
+    np.testing.assert_allclose(c, [0.5, 0.25, 0.125], atol=1e-5)
