@@ -268,15 +268,18 @@ class HnRenderDelegate:
         self.cameras: Dict[str, HnCamera] = {}
         self.buffers: Dict[str, HnRenderBuffer] = {}
         self.render_param = HnRenderParam()
-        self.vertex_pool = native.GeometryPool(256 << 20)
-        self.index_pool = native.GeometryPool(64 << 20)
+        # content-deduplicated, budgeted geometry pool with persistent device
+        # storage (HnGeometryPool.cpp dedup + dirty-range commit + budget)
+        from diligentfx_tpu.hydrogent.geometry_pool import HnGeometryPool
+        self.geometry_pool = HnGeometryPool(
+            load_budget_bytes=ci.geometry_load_budget_bytes)
         self._scene = None
         self._tm = None
         self._tm_ci = task_manager_ci
         self._renderer = renderer
         self._state = None
         self.last_output = None
-        self._pool_offsets: Dict[str, Tuple[int, int]] = {}
+        self._mesh_geo: Dict[str, bytes] = {}   # prim id → pool content key
         # HnTextureRegistry analogue: async loads + dedup + budgeted commit
         from diligentfx_tpu.hydrogent.texture_registry import HnTextureRegistry
         self.texture_registry = HnTextureRegistry(
@@ -318,10 +321,8 @@ class HnRenderDelegate:
         for store in (self.meshes, self.materials, self.lights,
                       self.cameras, self.buffers):
             if prim_id in store:
-                if store is self.meshes and prim_id in self._pool_offsets:
-                    voff, ioff = self._pool_offsets.pop(prim_id)
-                    self.vertex_pool.free(voff)
-                    self.index_pool.free(ioff)
+                if store is self.meshes and prim_id in self._mesh_geo:
+                    self.geometry_pool.release(self._mesh_geo.pop(prim_id))
                 del store[prim_id]
                 self._bump("prims")
                 # 'prims' bumps alone don't dirty the scene (creation happens
@@ -342,7 +343,6 @@ class HnRenderDelegate:
         point of HnGeometryPool::Commit + texture registry commit)."""
         import jax.numpy as jnp
         from diligentfx_tpu.attribs import PBRMaterialBasicAttribs, stack_materials
-        from diligentfx_tpu.gltf.primitives import compute_tangents
         from diligentfx_tpu.pbr.renderer import ScenePrimitives
 
         entries = []
@@ -391,58 +391,87 @@ class HnRenderDelegate:
             mat_index[mid] = len(mats) - 1
             return mat_index[mid]
 
-        pos, nrm, uv, tan, idx = [], [], [], [], []
+        # ---- geometry: route every mesh through the deduplicated pool -------
+        # (HnGeometryPool::Commit) — identical content shares ONE entry;
+        # dirty meshes upload O(their bytes); scene expansion is a
+        # device-side gather from the resident pool
+        pool = self.geometry_pool
+        for pid, mesh in self.meshes.items():
+            if not mesh.visible or mesh.points is None or mesh.indices is None:
+                continue
+            if mesh.dirty or pid not in self._mesh_geo:
+                new_key = pool.acquire(mesh.points, mesh.normals, mesh.uvs,
+                                       mesh.indices)
+                old = self._mesh_geo.get(pid)
+                if old is not None:
+                    pool.release(old)
+                self._mesh_geo[pid] = new_key
+                mesh.dirty = False
+        pool_dev = pool.commit()        # budgeted: entries past the budget
+                                        # stay PENDING until a later commit
+
+        instances = []                  # (pid, mesh, key) resident this frame
         vnode, tmat, tds, node_m = [], [], [], []
         v_off = 0
         slot = 0
         for pid, mesh in self.meshes.items():
-            if not mesh.visible or mesh.points is None or mesh.indices is None:
+            key = self._mesh_geo.get(pid)
+            if (not mesh.visible or mesh.points is None
+                    or mesh.indices is None or key is None
+                    or not pool.is_resident(key)):
                 continue
-            if mesh.dirty and pid not in self._pool_offsets:
-                vo = self.vertex_pool.alloc(mesh.points.nbytes)
-                io = self.index_pool.alloc(mesh.indices.nbytes)
-                if vo >= 0 and io >= 0:
-                    self._pool_offsets[pid] = (vo, io)
-            v = mesh.points.shape[0]
-            n = mesh.normals
-            if n is None:
-                n = _area_normals(mesh.points, mesh.indices)
-            u = mesh.uvs if mesh.uvs is not None else np.zeros((v, 2), np.float32)
-            pos.append(mesh.points)
-            nrm.append(n)
-            uv.append(u)
-            tan.append(compute_tangents(mesh.points, n, u, mesh.indices))
-            idx.append(mesh.indices + v_off)
-            vnode.append(np.full(v, slot, np.int32))
+            v_len = pool.range_of(key)[1]
+            t_len = pool.range_of(key)[3]
+            instances.append((pid, key))
+            vnode.append(np.full(v_len, slot, np.int32))
             mslot = material_slot(mesh.material_id)
-            nt = mesh.indices.shape[0]
-            tm = np.full(nt, mslot, np.int32)
+            tm = np.full(t_len, mslot, np.int32)
             if mesh.geom_subsets and mesh.tri_face is not None:
                 # per-face-set material bindings (HdGeomSubset)
-                nf = int(mesh.tri_face.max()) + 1 if nt else 0
+                nf = int(mesh.tri_face.max()) + 1 if t_len else 0
                 face_mat = np.full(nf, mslot, np.int32)
                 for sub_mid, faces in mesh.geom_subsets:
                     face_mat[faces[(faces >= 0) & (faces < nf)]] = \
                         material_slot(sub_mid)
                 tm = face_mat[mesh.tri_face]
             tmat.append(tm)
-            tds.append(np.zeros(nt, bool))
+            tds.append(np.zeros(t_len, bool))
             node_m.append(mesh.transform)
             self._mesh_slots[pid] = slot
-            mesh.dirty = False
-            v_off += v
+            v_off += v_len
             slot += 1
 
-        if not pos:
+        pos = nrm = uv = tan = idx = None
+        if instances:
+            # device-side expansion: contiguous-range gathers out of the pool
+            # (no geometry crosses the host→device tunnel here)
+            vgather = np.concatenate([
+                np.arange(pool.range_of(k)[0],
+                          pool.range_of(k)[0] + pool.range_of(k)[1],
+                          dtype=np.int32) for _, k in instances])
+            vg = jnp.asarray(vgather)
+            pos = pool_dev["positions"][vg]
+            nrm = pool_dev["normals"][vg]
+            uv = pool_dev["uvs"][vg]
+            tan = pool_dev["tangents"][vg]
+            pieces, off = [], 0
+            for _, k in instances:
+                p_v0, p_vl, p_t0, p_tl = pool.range_of(k)
+                pieces.append(pool_dev["indices"][p_t0:p_t0 + p_tl]
+                              + (off - p_v0))
+                off += p_vl
+            idx = jnp.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+
+        if not instances:
             # empty stage: render background-only frames (mesh_id = -1
             # everywhere) through the normal pipeline via one degenerate
             # zero-area triangle — Hydrogent keeps rendering when the last
             # Rprim is removed (HnRenderDelegate::DestroyRprim)
-            pos.append(np.zeros((3, 3), np.float32))
-            nrm.append(np.tile(np.array([[0, 0, 1]], np.float32), (3, 1)))
-            uv.append(np.zeros((3, 2), np.float32))
-            tan.append(np.tile(np.array([[1, 0, 0, 1]], np.float32), (3, 1)))
-            idx.append(np.array([[0, 1, 2]], np.int32))
+            pos = jnp.zeros((3, 3), jnp.float32)
+            nrm = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (3, 1))
+            uv = jnp.zeros((3, 2), jnp.float32)
+            tan = jnp.tile(jnp.asarray([[1.0, 0, 0, 1]], jnp.float32), (3, 1))
+            idx = jnp.asarray([[0, 1, 2]], jnp.int32)
             vnode.append(np.zeros(3, np.int32))
             tmat.append(np.zeros(1, np.int32))
             tds.append(np.zeros(1, bool))
@@ -462,11 +491,7 @@ class HnRenderDelegate:
                 tex_wraps=jnp.asarray(np.asarray(mat_wraps, np.int32)))
         nm = jnp.asarray(np.stack(node_m))
         self._scene = ScenePrimitives(
-            positions=jnp.asarray(np.concatenate(pos)),
-            normals=jnp.asarray(np.concatenate(nrm)),
-            uvs=jnp.asarray(np.concatenate(uv)),
-            tangents=jnp.asarray(np.concatenate(tan)),
-            indices=jnp.asarray(np.concatenate(idx)),
+            positions=pos, normals=nrm, uvs=uv, tangents=tan, indices=idx,
             vertex_node=jnp.asarray(np.concatenate(vnode)),
             tri_material=jnp.asarray(np.concatenate(tmat)),
             tri_double_sided=jnp.asarray(np.concatenate(tds)),
@@ -516,6 +541,14 @@ class HnRenderDelegate:
             atlas = self.texture_registry.commit()
             if self.texture_registry.storage_version != sv:
                 self._atlas = atlas
+        # budget-deferred geometry becomes resident on later frames: rebuild
+        # the scene (a device-side re-gather, not a re-upload) once the pool
+        # commits more entries (HnGeometryPool PENDING semantics)
+        if self.geometry_pool.num_pending > 0:
+            sv = self.geometry_pool.storage_version
+            self.geometry_pool.commit()
+            if self.geometry_pool.storage_version != sv:
+                self.commit_resources()
 
         if self._tm is None:
             renderer = self._renderer or PBRRenderer(
@@ -596,11 +629,11 @@ class HnRenderDelegate:
         return int(np.asarray(self.last_output.gbuffer.mesh_id)[y, x])
 
     def get_memory_stats(self) -> HnRenderDelegateMemoryStats:
-        vcap, vused, _, _ = self.vertex_pool.stats()
-        icap, iused, _, _ = self.index_pool.stats()
+        vcap, vused, _, _ = self.geometry_pool._valloc.stats()
+        icap, iused, _, _ = self.geometry_pool._talloc.stats()
         return HnRenderDelegateMemoryStats(
-            vertex_pool_capacity=vcap, vertex_pool_used=vused,
-            index_pool_capacity=icap, index_pool_used=iused,
+            vertex_pool_capacity=vcap * 48, vertex_pool_used=vused * 48,
+            index_pool_capacity=icap * 12, index_pool_used=iused * 12,
             atlas_bytes=self.texture_registry.resident_bytes,
             num_meshes=len(self.meshes), num_materials=len(self.materials),
             num_lights=len(self.lights))
