@@ -82,7 +82,8 @@ def main():
         # (16 -> 8 measured -20 ms at 1080p; raster stats show zero bin/big
         # overflow for this scene — see PERF_NOTES.md)
         cfg = RasterizerConfig(tile_h=32, tile_w=128, bin_capacity=1024,
-                               max_tiles_per_tri=8, big_tri_capacity=64, chunk=8)
+                               max_tiles_per_tri=8, big_tri_capacity=64,
+                               chunk=8, pair_compaction_cap=1 << 17)
         frames = args.frames
 
     from diligentfx_tpu.hydrogent.task_manager import (HnTaskManager,

@@ -254,6 +254,13 @@ class RasterizerConfig:
     max_tiles_per_tri: int = 16
     big_tri_capacity: int = 64  # triangles covering > max_tiles_per_tri tiles
     chunk: int = 64            # triangles rasterized per inner-loop step
+    # > 0: scatter the valid (tile, tri) pairs into a buffer of this size
+    # before the binning sort (exclusive-cumsum offsets, unique indices) —
+    # the sort then runs over ~#real-pairs elements instead of
+    # T x max_tiles_per_tri mostly-sentinel slots (the dominant binning
+    # cost at high triangle counts).  Pairs past the cap are dropped and
+    # counted in the overflow stat.  0 disables (bit-exact legacy path).
+    pair_compaction_cap: int = 0
 
     def __post_init__(self):
         if self.tile_w % 128 != 0:

@@ -307,19 +307,45 @@ def _bin_triangles(valid: Array, bbox: Array, width: int, height: int,
     # submission order within a tile, so stability is implied).
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     tri_bits = max(int(t).bit_length(), 1)
-    if tile_bits + tri_bits <= 31:
-        packed = (flat_tile << tri_bits) | flat_tri
-        packed = jnp.sort(packed)
+    if cfg.pair_compaction_cap > 0 and tile_bits + tri_bits <= 31:
+        # Compact the valid pairs into a small buffer BEFORE sorting: the
+        # (T, K) expansion is mostly sentinels (real pairs ≈ covered tiles,
+        # typically « T*K), and XLA's TPU sort cost scales with element
+        # count.  Exclusive cumsum gives each pair a unique, ordered slot,
+        # so the scatter is parallel and the packed-key sort stays stable
+        # (prim id in the low bits).
+        cap = cfg.pair_compaction_cap
+        n_small = jnp.where(is_small, n_cover, 0)
+        off = (jnp.cumsum(n_small) - n_small).astype(jnp.int32)
+        pos = off[:, None] + k[None, :]                          # (T, K)
+        # invalid pairs get distinct out-of-range slots (drop, uniqueness kept)
+        oob = cap + jax.lax.broadcasted_iota(jnp.int32, pos.shape, 0) * \
+            cfg.max_tiles_per_tri + k[None, :]
+        pos = jnp.where(pair_valid, pos, oob).reshape(-1)
+        sentinel = jnp.int32(num_tiles << tri_bits)
+        packed = (pair_tile << tri_bits) | pair_tri
+        buf = jnp.full((cap,), sentinel, jnp.int32)
+        buf = buf.at[pos].set(packed.reshape(-1), mode="drop",
+                              unique_indices=True)
+        packed = jnp.sort(buf)
         sorted_tile = packed >> tri_bits
         sorted_tri = packed & ((1 << tri_bits) - 1)
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(sorted_tile), sorted_tile,
+            num_segments=num_tiles + 1).astype(jnp.int32)[:num_tiles]
     else:
-        order = jnp.argsort(flat_tile, stable=True)
-        sorted_tile = flat_tile[order]
-        sorted_tri = flat_tri[order]
-
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(flat_tile), flat_tile, num_segments=num_tiles + 1
-    ).astype(jnp.int32)[:num_tiles]
+        if tile_bits + tri_bits <= 31:
+            packed = (flat_tile << tri_bits) | flat_tri
+            packed = jnp.sort(packed)
+            sorted_tile = packed >> tri_bits
+            sorted_tri = packed & ((1 << tri_bits) - 1)
+        else:
+            order = jnp.argsort(flat_tile, stable=True)
+            sorted_tile = flat_tile[order]
+            sorted_tri = flat_tri[order]
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(flat_tile), flat_tile, num_segments=num_tiles + 1
+        ).astype(jnp.int32)[:num_tiles]
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
 
     j = jnp.arange(cfg.bin_capacity, dtype=jnp.int32)
@@ -358,6 +384,10 @@ def _bin_triangles(valid: Array, bbox: Array, width: int, height: int,
 
     max_count = jnp.max(counts)
     overflow = jnp.sum(jnp.maximum(counts - cfg.bin_capacity, 0))
+    if cfg.pair_compaction_cap > 0 and tile_bits + tri_bits <= 31:
+        total_pairs = jnp.sum(jnp.where(is_small, n_cover, 0))
+        overflow = overflow + jnp.maximum(
+            total_pairs - cfg.pair_compaction_cap, 0)
     big_overflow = jnp.maximum(n_big - cfg.big_tri_capacity, 0)
     return candidates, compact, counts_total, max_count, overflow, big_overflow
 

@@ -38,7 +38,8 @@ def main():
     w, h = 1920, 1088
     scene = build_bench_scene(5, 9, 32)
     cfg = RasterizerConfig(tile_h=32, tile_w=128, bin_capacity=1024,
-                           max_tiles_per_tri=8, big_tri_capacity=64, chunk=8)
+                           max_tiles_per_tri=8, big_tri_capacity=64, chunk=8,
+                           pair_compaction_cap=1 << 17)
     eye = [0.0, 1.0, 7.5]
     view = m3.look_at(eye, [0.0, 0.0, 0.0])
     proj = m3.perspective(0.7, w / 1080, 0.1, 100.0)

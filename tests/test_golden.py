@@ -20,3 +20,30 @@ def test_mr_spheres_matches_golden():
     # golden PNG is 8-bit: quantization alone bounds PSNR near 50 dB
     p = psnr(np.clip(img, 0.0, 1.0), ref)
     assert p > 40.0, f"PSNR vs golden = {p:.1f} dB"
+
+
+def _check(fn_name, png, min_psnr=40.0):
+    sys.path.insert(0, GOLDEN_DIR)
+    import generate
+    from diligentfx_tpu.utils.image import psnr, read_png
+    img = getattr(generate, fn_name)()
+    ref = read_png(os.path.join(GOLDEN_DIR, png))[..., :3]
+    ref = ref.astype(np.float64) / 255.0
+    p = psnr(np.clip(img, 0.0, 1.0), ref)
+    assert p > min_psnr, f"PSNR vs {png} = {p:.1f} dB"
+
+
+def test_csm_matches_golden():
+    """cfg2-class gate: cascaded EVSM2 shadows end-to-end."""
+    _check("render_csm_golden", "csm_256.png")
+
+
+def test_deferred_matches_golden():
+    """cfg3-class gate: deferred G-buffer + SSAO + SSR, frame 2 (temporal
+    accumulation included)."""
+    _check("render_deferred_golden", "deferred_256.png")
+
+
+def test_full_chain_matches_golden():
+    """cfg4-class gate: + TAA + bloom + DoF, frame 2."""
+    _check("render_full_chain_golden", "full_chain_256.png")

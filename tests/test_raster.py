@@ -220,3 +220,20 @@ def test_interpolate_with_derivs_affine():
 
 def test_pad_viewport():
     assert pad_viewport(500, 300, CFG) == (512, 304)
+
+
+def test_pair_compaction_parity():
+    """pair_compaction_cap rewrites the binning sort over a compacted pair
+    buffer — the visibility buffer must be IDENTICAL to the legacy path."""
+    import dataclasses
+    rng = np.random.default_rng(5)
+    verts = jnp.asarray(rng.normal(0, 0.8, (60, 4)).astype(np.float32)
+                        + np.array([0, 0, 0.5, 1.2], np.float32))
+    idx = jnp.asarray(rng.integers(0, 60, (40, 3)).astype(np.int32))
+    cfg0 = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=64,
+                            max_tiles_per_tri=8, big_tri_capacity=16, chunk=8)
+    cfg1 = dataclasses.replace(cfg0, pair_compaction_cap=512)
+    vb0, _ = rasterize(verts, idx, width=256, height=64, cfg=cfg0)
+    vb1, _ = rasterize(verts, idx, width=256, height=64, cfg=cfg1)
+    np.testing.assert_array_equal(np.asarray(vb0.tri_id), np.asarray(vb1.tri_id))
+    np.testing.assert_array_equal(np.asarray(vb0.depth), np.asarray(vb1.depth))
