@@ -197,7 +197,8 @@ class HnTaskManager:
                                        self.ci.ssr_resolution_divisor,
                                        self.ci.ssr_half_resolution) + (4,),
                 jnp.float32)) if self.ci.enable_ssr else None,
-            ssao=fx_ssao.SSAOState(history=z1 + 1.0) if self.ci.enable_ssao else None,
+            ssao=(fx_ssao.SSAOState(history=z1 + 1.0, depth_history=z1 + 1.0)
+                  if self.ci.enable_ssao else None),
             dof=fx_dof.DoFState(coc_history=z1) if self.ci.enable_dof else None,
             average_log_lum=(jnp.float32(0.3)
                              if self.ci.enable_auto_exposure else None),

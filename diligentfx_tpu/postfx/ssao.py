@@ -276,6 +276,11 @@ def bilateral_blur(ao: Array, depth: Array, camera: CameraAttribs,
 
 class SSAOState(NamedTuple):
     history: Array  # (H, W)
+    # prev frame's CONVOLVED depth (blurred to the AO filter footprint) —
+    # reprojected and compared against the current convolved depth to
+    # validate history per pixel (the reference's convolved-depth-history
+    # stage, ScreenSpaceAmbientOcclusion.hpp:144-152)
+    depth_history: Optional[Array] = None  # (H, W)
 
 
 @jax.named_scope("hn.ssao")
@@ -307,6 +312,15 @@ def apply_ssao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                           num_slices, num_steps, use_pallas=use_pallas)
         ao = bilateral_blur(ao, depth, camera)
 
+    # convolved depth: current depth blurred to the AO filter footprint —
+    # the history-validation metric of the reference's denoiser
+    # (ScreenSpaceAmbientOcclusion.hpp:144-152 ConvolvedDepthHistory)
+    conv_depth = jnp.zeros_like(depth)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            conv_depth = conv_depth + jnp.roll(depth, (dy, dx), axis=(0, 1))
+    conv_depth = conv_depth / 9.0
+
     if state is not None and motion is not None:
         xg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
         yg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
@@ -316,8 +330,14 @@ def apply_ssao(depth: Array, normal_vs: Array, camera: CameraAttribs,
             off_px = -motion * jnp.array([w, h], jnp.float32)
             hist = warp_bilinear_pallas(state.history, off_px,
                                         halo_r=8, halo_c=64)
+            hist_cd = (warp_bilinear_pallas(state.depth_history, off_px,
+                                            halo_r=8, halo_c=64)
+                       if state.depth_history is not None else None)
         else:
             hist = bilinear_sample(state.history[..., None], prev_uv)[..., 0]
+            hist_cd = (bilinear_sample(state.depth_history[..., None],
+                                       prev_uv)[..., 0]
+                       if state.depth_history is not None else None)
         # variance-guided accumulation (the ReBLUR-style history constraint,
         # ScreenSpaceAmbientOcclusion.hpp:147-150): clamp reprojected history
         # to the current frame's 3×3 AO distribution
@@ -338,5 +358,13 @@ def apply_ssao(depth: Array, normal_vs: Array, camera: CameraAttribs,
             # to the current (already spatially-denoised) AO entirely
             reject = reject | disocclusion
         alpha = jnp.where(reject, 1.0, 1.0 - settings.temporal_stability_factor)
+        if hist_cd is not None:
+            # resampled-history validation: down-weight history whose
+            # reprojected convolved depth disagrees with the current one
+            # (geometry moved/revealed under this pixel) — the per-pixel
+            # complement of the global disocclusion mask
+            rel = jnp.abs(hist_cd - conv_depth) / jnp.maximum(conv_depth, 1e-4)
+            w_depth = jnp.exp(-rel * 16.0)
+            alpha = 1.0 - (1.0 - alpha) * w_depth
         ao = hist + (ao - hist) * alpha
-    return ao, SSAOState(history=ao)
+    return ao, SSAOState(history=ao, depth_history=conv_depth)

@@ -325,3 +325,31 @@ def test_march_pallas_matches_reference():
     if both.any():
         dp = np.abs(np.asarray(uvz_p)[both] - np.asarray(uvz_x)[both])
         assert np.median(dp[..., :2]) < 0.05, np.median(dp, axis=0)
+
+
+def test_ssao_convolved_depth_history_rejects_on_depth_change():
+    """ReBLUR-style convolved-depth-history validation (SSAO interface
+    :144-152): when the depth under a pixel changes between frames, the
+    reprojected AO history must be rejected even with zero motion."""
+    from diligentfx_tpu.postfx.ssao import SSAOState, apply_ssao
+    cam = make_camera()
+    normal = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (H, W, 3))
+    d1 = jnp.full((H, W), depth_of_plane_at(5.0, cam), jnp.float32)
+    d2 = jnp.full((H, W), depth_of_plane_at(2.0, cam), jnp.float32)
+    motion = jnp.zeros((H, W, 2))
+    _, st = apply_ssao(d1, normal, cam, 0, half_resolution=False)
+    assert st.depth_history is not None
+    # poison the AO history: if accepted it drags the result toward 0
+    st = SSAOState(history=jnp.zeros((H, W)), depth_history=st.depth_history)
+    ao_same, _ = apply_ssao(d1, normal, cam, 1, state=st, motion=motion,
+                            half_resolution=False)
+    ao_diff, _ = apply_ssao(d2, normal, cam, 1, state=st, motion=motion,
+                            half_resolution=False)
+    c = (H // 2, W // 2)
+    # depth_history round-trips as the convolved current depth
+    np.testing.assert_allclose(float(st.depth_history[c]),
+                               float(d1[c]), rtol=1e-5)
+    # changed depth rejects MORE history than same depth (the variance
+    # clamp already bounds the poisoned history, so the residual is small
+    # but must be strictly ordered)
+    assert float(ao_diff[c]) > float(ao_same[c]) + 5e-4
