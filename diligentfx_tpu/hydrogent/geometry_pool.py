@@ -205,16 +205,26 @@ class HnGeometryPool:
         (device arrays are rebuilt — a resident-size copy, not per-frame)."""
         if is_vertex:
             self._vcap = max(self._vcap * 2, self._vcap + need * 2)
-            self._valloc = native.GeometryPool(self._vcap)
         else:
             self._tcap = max(self._tcap * 2, self._tcap + need * 2)
-            self._talloc = native.GeometryPool(self._tcap)
+        # rebuild BOTH allocators fresh before the replay: re-allocating new
+        # ranges out of the still-live non-grown allocator would leak every
+        # old range (usage doubles per grow) and can return -1 offsets that
+        # poison commit()/range_of()
+        self._valloc = native.GeometryPool(self._vcap)
+        self._talloc = native.GeometryPool(self._tcap)
         dev = self._dev
         self._dev = None
         for e in self._entries.values():
             old_v, old_t = e.v_off, e.t_off
             e.v_off = self._valloc.alloc(max(e.v_len, 1), alignment=1)
             e.t_off = self._talloc.alloc(max(e.t_len, 1), alignment=1)
+            if e.v_off < 0 or e.t_off < 0:
+                # live ranges always fit a fresh allocator of >= old capacity;
+                # reaching here means allocator state is corrupt — fail loudly
+                # rather than hand a -1 offset to commit()/the render delegate
+                raise RuntimeError("HnGeometryPool: replay allocation failed "
+                                   "during grow (live size exceeds capacity)")
             if e.host is None:       # was resident: restage from device pool
                 pts, nrm, uv, tan = (
                     np.asarray(dev[n][old_v:old_v + e.v_len])

@@ -411,6 +411,10 @@ class HnRenderDelegate:
                                         # stay PENDING until a later commit
 
         instances = []                  # (pid, mesh, key) resident this frame
+        # slots are valid only for meshes in THIS expansion: a stale slot from
+        # a budget-deferred (PENDING) mesh would alias another instance's
+        # node_matrices row on the next transform-only commit
+        self._mesh_slots = {}
         vnode, tmat, tds, node_m = [], [], [], []
         v_off = 0
         slot = 0

@@ -474,9 +474,10 @@ def _frame_fx(begin: dict, scene, state: FrameState, ibl_maps,
                         if kl.tail_alpha is not None else None),
             tail_color=(kl.tail_color[:height, :width]
                         if kl.tail_color is not None else None))
-        lcol, lalpha = oit.shade_klayers(blend_scene, info, ibl_maps, kl,
-                                         wp, wn, winv_b, use_ibl=use_ibl)
-        color = oit.composite_klayers(color, gb.depth, kl, lcol, lalpha)
+        lcol, lalpha, lalb = oit.shade_klayers(blend_scene, info, ibl_maps, kl,
+                                               wp, wn, winv_b, use_ibl=use_ibl)
+        color = oit.composite_klayers(color, gb.depth, kl, lcol, lalpha,
+                                      layer_albedos=lalb)
 
     # ---- CoordinateGrid / BoundBox / ProcessSelection tasks ---------------------
     # (HnTaskManager task UIDs renderBoundBox/processSelection + the grid,

@@ -318,9 +318,14 @@ def _bin_triangles(valid: Array, bbox: Array, width: int, height: int,
         n_small = jnp.where(is_small, n_cover, 0)
         off = (jnp.cumsum(n_small) - n_small).astype(jnp.int32)
         pos = off[:, None] + k[None, :]                          # (T, K)
-        # invalid pairs get distinct out-of-range slots (drop, uniqueness kept)
-        oob = cap + jax.lax.broadcasted_iota(jnp.int32, pos.shape, 0) * \
-            cfg.max_tiles_per_tri + k[None, :]
+        # invalid pairs get distinct out-of-range slots.  Base them past ANY
+        # reachable valid position (valid pos < T*K): when total valid pairs
+        # exceed cap, in-range-computed positions >= cap would otherwise
+        # collide with oob slots — non-unique indices under
+        # unique_indices=True is undefined behavior even with mode='drop'
+        oob = (cap + t * cfg.max_tiles_per_tri
+               + jax.lax.broadcasted_iota(jnp.int32, pos.shape, 0)
+               * cfg.max_tiles_per_tri + k[None, :])
         pos = jnp.where(pair_valid, pos, oob).reshape(-1)
         sentinel = jnp.int32(num_tiles << tri_bits)
         packed = (pair_tile << tri_bits) | pair_tri

@@ -209,7 +209,10 @@ def rasterize_klayers(clip: Array, indices: Array, *, width: int, height: int,
     fragments dropped past K accumulate 1-prod(1-a) into KLayerBuffer.tail_alpha.
     tri_rgb: optional (T, 3) per-triangle color — additionally accumulates the
     dropped fragments' alpha-weighted mean color into KLayerBuffer.tail_color
-    (the OIT.fxh RGBA8 tail average)."""
+    (the OIT.fxh RGBA8 tail average).  tri_rgb without tri_alpha implies
+    opaque tail fragments (alpha = 1)."""
+    if tri_rgb is not None and tri_alpha is None:
+        tri_alpha = jnp.ones((indices.shape[0],), jnp.float32)
     setup, valid, bbox, _ = rz._triangle_setup(
         clip, indices, width, height,
         jnp.ones((indices.shape[0],), bool), True, 1e-3)
@@ -322,25 +325,32 @@ def shade_klayers(scene, info, ibl_maps, layers: KLayerBuffer,
             lighting = sh.apply_ibl(shading, ibl_maps, lighting)
         color = sh.resolve_lighting(shading, lighting)
         alpha = jnp.where((tri_l >= 0)[..., None], base_rgba[..., 3:4], 0.0)
-        return jnp.where((tri_l >= 0)[..., None], color, 0.0), alpha
+        hit3 = (tri_l >= 0)[..., None]
+        return (jnp.where(hit3, color, 0.0), alpha,
+                jnp.where(hit3, base_rgba[..., :3], 0.0))
 
-    colors, alphas = jax.vmap(shade_one)(layers.depth, layers.tri_id, layers.bary)
-    return colors, alphas
+    colors, alphas, albedos = jax.vmap(shade_one)(
+        layers.depth, layers.tri_id, layers.bary)
+    return colors, alphas, albedos
 
 
 def composite_klayers(opaque_color: Array, opaque_depth: Array,
                       layers: KLayerBuffer, layer_colors: Array,
-                      layer_alphas: Array) -> Array:
+                      layer_alphas: Array,
+                      layer_albedos: Optional[Array] = None) -> Array:
     """Front-to-back composite of shaded transparent layers over the opaque
     frame (ApplyOITAttenuation analogue).
 
     layer_colors (K, H, W, 3) premultipliable radiance; layer_alphas (K, H, W, 1).
+    layer_albedos (K, H, W, 3) optional unshaded base colors of the kept
+    layers — used to scale the tail color to local lighting (see below).
     Layers behind the opaque depth are rejected (z-test vs opaque)."""
     k = layers.depth.shape[0]
     out = jnp.zeros_like(opaque_color)
     transmittance = jnp.ones_like(layer_alphas[0])
     csum = jnp.zeros_like(opaque_color)
     asum = jnp.zeros_like(layer_alphas[0])
+    albsum = jnp.zeros_like(opaque_color)
     for i in range(k):
         valid = ((layers.tri_id[i] >= 0)
                  & (layers.depth[i] <= opaque_depth))[..., None]
@@ -349,15 +359,27 @@ def composite_klayers(opaque_color: Array, opaque_depth: Array,
         transmittance = transmittance * (1.0 - a)
         csum = csum + a * layer_colors[i]
         asum = asum + a
+        if layer_albedos is not None:
+            albsum = albsum + a * layer_albedos[i]
     # OIT.fxh tail semantics: fragments past K attenuate what is behind and
-    # add radiance from the tail average.  When the raster carried the
-    # dropped fragments' own colors (tail_color — the OIT.fxh RGBA8 tail
-    # average), use them directly; otherwise fall back to the alpha-weighted
-    # mean of the kept layers' shaded colors.
+    # add radiance from the tail average.  The reference shades tail
+    # fragments fully in the forward pass (RenderPBR.psh:412-414; the RGBA8
+    # tail holds count+transmittance) — here the tail carries the dropped
+    # fragments' UNSHADED base color (tail_color), so scale it by the kept
+    # layers' shaded/albedo luminance ratio to track local lighting instead
+    # of assuming ~unit light intensity (ADVICE r3).  Overflow implies all K
+    # slots were occupied, so kept-layer statistics exist wherever the tail
+    # is non-zero.
     if layers.tail_alpha is not None:
         ta = layers.tail_alpha[..., None]
         if layers.tail_color is not None:
             tail_color = layers.tail_color
+            if layer_albedos is not None:
+                lum = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+                shade_l = jnp.sum(csum * lum, axis=-1, keepdims=True)
+                alb_l = jnp.sum(albsum * lum, axis=-1, keepdims=True)
+                ratio = shade_l / jnp.maximum(alb_l, 1e-6)
+                tail_color = tail_color * jnp.where(asum > 1e-6, ratio, 1.0)
         else:
             tail_color = csum / jnp.maximum(asum, 1e-6)
             any_kept = asum > 1e-6

@@ -102,3 +102,34 @@ def test_delegate_dedup_and_o1_edit():
     d.meshes["/m3"].set_points(tri_mesh(7, nv=24)[0])
     d.commit_resources()
     assert d.geometry_pool.last_commit_upload_bytes == 24 * 48 + 12 * 12
+
+
+def test_repeated_growth_does_not_leak_nongrown_allocator():
+    """ADVICE r3 (high): _grow re-allocated ranges from the still-live
+    non-grown allocator, leaking every old range (usage doubled per grow)
+    and eventually returning -1 offsets.  Repeated vertex-capacity growths
+    must keep index-pool usage equal to the live index count."""
+    pool = HnGeometryPool(vertex_capacity=8, index_capacity=1 << 14)
+    keys, meshes = [], []
+    for i in range(6):       # each acquire overflows → repeated vertex grows
+        pts, idx = tri_mesh(i + 10, nv=16 << i, nt=4)
+        keys.append(pool.acquire(pts, None, None, idx))
+        meshes.append((pts, idx))
+    dev = pool.commit()
+    live_t = sum(4 for _ in keys)
+    # every entry's index range must be valid and disjoint
+    spans = sorted((pool.range_of(k)[2], pool.range_of(k)[3]) for k in keys)
+    assert all(off >= 0 for off, _ in spans)
+    for (o1, l1), (o2, _) in zip(spans, spans[1:]):
+        assert o1 + l1 <= o2
+    # and the pool still round-trips every mesh's content
+    for k, (pts, idx) in zip(keys, meshes):
+        v_off, v_len, t_off, t_len = pool.range_of(k)
+        np.testing.assert_allclose(
+            np.asarray(dev["positions"][v_off:v_off + v_len]), pts)
+        np.testing.assert_array_equal(
+            np.asarray(dev["indices"][t_off:t_off + t_len]), idx + v_off)
+    # total index usage inside the ALLOCATOR stays exactly the live count
+    # after N grows: the old allocator must have been rebuilt, not leaked
+    assert sum(pool.range_of(k)[3] for k in keys) == live_t
+    assert pool._talloc.stats()[1] == live_t
