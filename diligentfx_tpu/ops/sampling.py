@@ -220,6 +220,114 @@ def _pyramid_bilinear(flat: Array, offsets: Array, sizes: Array,
     return top + (bot - top) * ty
 
 
+def build_packed_pyramid(mips: Sequence[Array]) -> Array:
+    """Pack a square mip chain into a gather-FOOTPRINT table: one row per
+    texel of levels 0..L-2 holding that texel's clamped fine 2×2 bilinear
+    footprint (12 floats) plus the 3×3 coarse window at level l+1 centered
+    at (y//2, x//2) (27 floats) — every texel a trilinear sample with
+    x0=floor(u·n-0.5)=x can touch.  One row gather then yields a FULL
+    trilinear sample (`sample_pyramid_packed`): gathers cost by ROWS on
+    this TPU, not row width (PERF_NOTES.md), so this is 8× fewer gathers
+    than the 2-tap flattened-pyramid path and strictly higher quality than
+    the round-3 nearest-mip fast path it replaces.
+
+    Returns (R, 40) f32 with R = Σ_{l<L-1} n_l² (rows in level-major,
+    row-major texel order; the 40th column is alignment padding)."""
+    packs = []
+    for lvl in range(max(len(mips) - 1, 1)):
+        img = mips[lvl]
+        coarse = mips[lvl + 1] if lvl + 1 < len(mips) else mips[lvl]
+        n = img.shape[0]
+
+        def shift(a, dy, dx):
+            # clamp-to-edge shift: out[y, x] = a[clip(y+dy), clip(x+dx)]
+            ys = jnp.clip(jnp.arange(a.shape[0]) + dy, 0, a.shape[0] - 1)
+            xs = jnp.clip(jnp.arange(a.shape[1]) + dx, 0, a.shape[1] - 1)
+            return a[ys][:, xs]
+
+        fine = [img, shift(img, 0, 1), shift(img, 1, 0), shift(img, 1, 1)]
+        # coarse window on the fine grid: cw(dy,dx)[y,x] =
+        # coarse[clip(y//2+dy), clip(x//2+dx)]
+        cw = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                c = shift(coarse, dy, dx)
+                cw.append(jnp.repeat(jnp.repeat(c, 2, axis=0), 2, axis=1)[:n, :n])
+        row = jnp.concatenate(fine + cw, axis=-1)           # (n, n, 39)
+        packs.append(row.reshape(n * n, 39))
+    packed = jnp.concatenate(packs, axis=0)
+    return jnp.pad(packed, ((0, 0), (0, 1)))
+
+
+def _packed_level_bilinear(g: Array, base: int, tx: Array, ty: Array) -> Array:
+    """Bilerp of a 2×2 footprint stored at g[..., base:base+12]."""
+    c00 = g[..., base + 0:base + 3]
+    c10 = g[..., base + 3:base + 6]
+    c01 = g[..., base + 6:base + 9]
+    c11 = g[..., base + 9:base + 12]
+    top = c00 + (c10 - c00) * tx
+    bot = c01 + (c11 - c01) * tx
+    return top + (bot - top) * ty
+
+
+def sample_pyramid_packed(packed: Array, top_dim: int, num_levels: int,
+                          uv: Array, lod: Array) -> Array:
+    """Full trilinear sample of a square clamp-wrapped mip pyramid with ONE
+    row gather per pixel, from a `build_packed_pyramid` table.  Numerically
+    identical to `sample_oct_pyramid`'s 8-tap trilinear (tests assert it)."""
+    lod = jnp.clip(lod, 0.0, num_levels - 1.0)
+    lvl = jnp.clip(jnp.floor(lod), 0, max(num_levels - 2, 0)).astype(jnp.int32)
+    frac = jnp.clip(lod - lvl.astype(jnp.float32), 0.0, 1.0)[..., None]
+    n = jnp.right_shift(jnp.int32(top_dim), lvl)
+    nf = n.astype(jnp.float32)
+    # static per-level row offsets resolved by a (short) select chain —
+    # an offsets[lvl] array index would itself be a full-screen gather
+    off = jnp.zeros_like(lvl)
+    acc = 0
+    for i in range(max(num_levels - 1, 1)):
+        off = jnp.where(lvl == i, acc, off)
+        acc += (top_dim >> i) ** 2
+
+    # fine footprint coordinates (clamp wrap; a clamped-negative x0 zeroes
+    # tx so the packed row-0 footprint reproduces edge-clamp bilinear)
+    fx = uv[..., 0] * nf - 0.5
+    fy = uv[..., 1] * nf - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = jnp.where(x0 < 0, 0.0, fx - x0.astype(jnp.float32))[..., None]
+    ty = jnp.where(y0 < 0, 0.0, fy - y0.astype(jnp.float32))[..., None]
+    x0p = jnp.clip(x0, 0, n - 1)
+    y0p = jnp.clip(y0, 0, n - 1)
+
+    g = packed[off + y0p * n + x0p]                     # (..., 40) ONE gather
+    fine = _packed_level_bilinear(g, 0, tx, ty)
+
+    # coarse footprint inside the packed 3×3 window centered at
+    # (y0p//2, x0p//2); the true coarse x0' is always within [center-1, center]
+    fxc = fx * 0.5 - 0.25
+    fyc = fy * 0.5 - 0.25
+    xc0 = jnp.floor(fxc).astype(jnp.int32)
+    yc0 = jnp.floor(fyc).astype(jnp.int32)
+    tcx = jnp.where(xc0 < 0, 0.0, fxc - xc0.astype(jnp.float32))[..., None]
+    tcy = jnp.where(yc0 < 0, 0.0, fyc - yc0.astype(jnp.float32))[..., None]
+    jx1 = (jnp.clip(xc0 - (jnp.right_shift(x0p, 1) - 1), 0, 2) == 1)[..., None]
+    jy1 = (jnp.clip(yc0 - (jnp.right_shift(y0p, 1) - 1), 0, 2) == 1)[..., None]
+
+    def ent(r, c):
+        b = 12 + (r * 3 + c) * 3
+        return g[..., b:b + 3]
+
+    def pick(a, b):
+        top = jnp.where(jx1, ent(a, b + 1), ent(a, b))
+        bot = jnp.where(jx1, ent(a + 1, b + 1), ent(a + 1, b))
+        return jnp.where(jy1, bot, top)
+
+    ctop = pick(0, 0) + (pick(0, 1) - pick(0, 0)) * tcx
+    cbot = pick(1, 0) + (pick(1, 1) - pick(1, 0)) * tcx
+    coarse = ctop + (cbot - ctop) * tcy
+    return fine + (coarse - fine) * frac
+
+
 def sample_oct_pyramid(flat: Array, offsets: Array, sizes: Array,
                        direction: Array, lod: Array) -> Array:
     """Trilinear octahedral environment sample from a flattened pyramid:

@@ -242,7 +242,8 @@ def precompute_ibl_maps(env_oct: Array, *, brdf_lut_dim: int = 512,
                         num_spec_samples: int = 256,
                         charlie_dim: int = 64) -> IBLMaps:
     """One-stop IBL precompute (PBR_Renderer::PrecomputeCubemaps analogue)."""
-    from diligentfx_tpu.ops.sampling import flatten_mip_pyramid
+    from diligentfx_tpu.ops.sampling import (build_packed_pyramid,
+                                             flatten_mip_pyramid)
     lut = precompute_brdf_lut(brdf_lut_dim, num_brdf_samples)
     charlie = precompute_charlie_lut(charlie_dim, 256)
     irr = precompute_irradiance_oct(env_oct, irradiance_dim)
@@ -262,6 +263,7 @@ def precompute_ibl_maps(env_oct: Array, *, brdf_lut_dim: int = 512,
         pref_offsets=offsets,
         pref_sizes=sizes,
         env_brdf_coeffs=fit_env_brdf(lut),
+        pref_packed=build_packed_pyramid(pref),
     )
 
 

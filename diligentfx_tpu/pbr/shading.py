@@ -188,6 +188,7 @@ class IBLMaps(NamedTuple):
     pref_offsets: Optional[Array] = None    # (L,)
     pref_sizes: Optional[Array] = None      # (L,)
     env_brdf_coeffs: Optional[Array] = None  # (K, K, 2) Chebyshev LUT fit
+    pref_packed: Optional[Array] = None      # (R, 40) footprint-packed pyramid
 
 
 # ---------------------------------------------------------------------------
@@ -301,9 +302,17 @@ def apply_punctual_lights(shading: SurfaceShadingInfo, lights: PBRLightAttribs,
 
 def _sample_prefiltered(maps: IBLMaps, direction: Array, lod: Array,
                         fast: bool = False) -> Array:
-    """Prefiltered env sample — flattened-pyramid fast path when available.
-    fast=True rounds to the nearest mip (4 taps instead of 8; slight
-    roughness quantization, half the gather cost)."""
+    """Prefiltered env sample.  Preferred path: the footprint-packed pyramid
+    (ops/sampling.build_packed_pyramid) — FULL trilinear quality in ONE row
+    gather per pixel, so there is no fast/slow quality split anymore (the
+    round-3 `fast` nearest-mip path cost 4 gathers for lower quality).
+    Fallbacks: 2-tap flattened pyramid, then the per-level static sum."""
+    if maps.pref_packed is not None:
+        from diligentfx_tpu.ops.sampling import (dir_to_oct_uv,
+                                                 sample_pyramid_packed)
+        return sample_pyramid_packed(
+            maps.pref_packed, maps.prefiltered[0].shape[0],
+            len(maps.prefiltered), dir_to_oct_uv(direction), lod)
     if maps.pref_flat is not None:
         from diligentfx_tpu.ops.sampling import (_pyramid_bilinear,
                                                  dir_to_oct_uv,

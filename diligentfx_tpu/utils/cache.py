@@ -37,11 +37,13 @@ def load_ibl_maps(path: str):
     if not os.path.exists(path):
         return None
     try:
+        from diligentfx_tpu.ops.sampling import build_packed_pyramid
         z = np.load(path)
         n = int(z["n_mips"])
+        pref = tuple(jnp.asarray(z[f"pref_{i}"]) for i in range(n))
         return IBLMaps(
             irradiance=jnp.asarray(z["irradiance"]),
-            prefiltered=tuple(jnp.asarray(z[f"pref_{i}"]) for i in range(n)),
+            prefiltered=pref,
             preintegrated_ggx=jnp.asarray(z["preintegrated_ggx"]),
             preintegrated_charlie=jnp.asarray(z["preintegrated_charlie"]),
             sheen_albedo_scaling=jnp.asarray(z["sheen_albedo_scaling"]),
@@ -51,6 +53,8 @@ def load_ibl_maps(path: str):
             pref_sizes=jnp.asarray(z["pref_sizes"]),
             env_brdf_coeffs=(jnp.asarray(z["env_brdf_coeffs"])
                              if "env_brdf_coeffs" in z.files else None),
+            # derived, not serialized: rebuild from the mips (cheap)
+            pref_packed=build_packed_pyramid(pref),
         )
     except Exception:
         return None

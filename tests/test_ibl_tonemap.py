@@ -120,3 +120,49 @@ def test_tonemap_monotonic_luminance():
 def test_average_log_luminance():
     img = jnp.ones((8, 8, 3), jnp.float32)
     assert float(average_log_luminance(img)) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_packed_pyramid_matches_two_tap_trilinear():
+    """sample_pyramid_packed (ONE row gather) must reproduce the 8-tap
+    trilinear of sample_oct_pyramid exactly (same clamp semantics)."""
+    from diligentfx_tpu.ops.sampling import (build_packed_pyramid,
+                                             flatten_mip_pyramid,
+                                             sample_oct_pyramid,
+                                             sample_pyramid_packed)
+    rng = np.random.default_rng(7)
+    mips = []
+    n = 32
+    while n >= 4:
+        mips.append(jnp.asarray(rng.random((n, n, 3)), jnp.float32))
+        n //= 2
+    flat, offs, sizes = flatten_mip_pyramid(mips)
+    packed = build_packed_pyramid(mips)
+    assert packed.shape == (32 * 32 + 16 * 16 + 8 * 8, 40)
+
+    d = rng.normal(size=(64, 33, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    lod = jnp.asarray(rng.uniform(-0.5, len(mips) - 0.3, (64, 33)), jnp.float32)
+
+    ref = sample_oct_pyramid(flat, offs, sizes, d, lod)
+    got = sample_pyramid_packed(packed, 32, len(mips), dir_to_oct_uv(d), lod)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_packed_pyramid_edge_uv_clamps():
+    """uv at the exact corners/edges must match edge-clamped bilinear."""
+    from diligentfx_tpu.ops.sampling import (build_packed_pyramid,
+                                             sample_pyramid_packed)
+    rng = np.random.default_rng(3)
+    mips = [jnp.asarray(rng.random((8, 8, 3)), jnp.float32),
+            jnp.asarray(rng.random((4, 4, 3)), jnp.float32)]
+    packed = build_packed_pyramid(mips)
+    uv = jnp.asarray([[0.0, 0.0], [1.0, 1.0], [0.0, 1.0], [1.0, 0.0],
+                      [0.5, 0.0], [0.03, 0.97]], jnp.float32)
+    got0 = sample_pyramid_packed(packed, 8, 2, uv, jnp.zeros(6))
+    ref0 = bilinear_sample(mips[0], uv)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0), atol=1e-6)
+    got1 = sample_pyramid_packed(packed, 8, 2, uv, jnp.ones(6))
+    ref1 = bilinear_sample(mips[1], uv)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), atol=1e-6)
