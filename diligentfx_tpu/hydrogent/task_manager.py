@@ -165,6 +165,31 @@ class FrameOutput(NamedTuple):
     depth_range: Optional["DepthRange"] = None
 
 
+class FrameBegin(NamedTuple):
+    """Typed seam between the G-buffer program and the effects program
+    (execute_split's first boundary) — shared by execute/execute_split/banded
+    so the three paths cannot drift (stringly-typed dicts did, VERDICT r3)."""
+    gb: GBufferData
+    info: RenderInfo
+    first_frame: Array
+
+
+class FrameFx(NamedTuple):
+    """Typed seam between the screen-space-effects program and the temporal
+    + tonemap program (execute_split's second boundary)."""
+    color: Array
+    gb: GBufferData
+    ao: Array
+    info: RenderInfo
+    resources: object               # PostFXResources
+    first_frame: Array
+    new_ssao: Optional[object] = None
+    new_ssr: Optional[object] = None
+    new_exposure: Optional[Array] = None
+    disocclusion: Optional[Array] = None
+    depth_range: Optional[object] = None
+
+
 class HnTaskManager:
     """Owns the renderer + pipeline config; `execute` runs one frame
     (the analogue of HdEngine::Execute over GetTasks())."""
@@ -262,7 +287,7 @@ class HnTaskManager:
                 enable_clearcoat=self.renderer.ci.enable_clear_coat,
                 fast_env=self.ci.fast_env_taps,
                 light_shadow_kinds=light_shadow_kinds)
-            begin = dict(gb=gb, info=info2, first_frame=first_frame)
+            begin = FrameBegin(gb=gb, info=info2, first_frame=first_frame)
         else:
             begin = _frame_begin_jit(
                 scene, info, state, self.renderer.ibl_maps,
@@ -374,16 +399,16 @@ def _frame_begin(scene, info: RenderInfo, state: FrameState, ibl_maps,
                         fast_env=ci.fast_env_taps,
                         light_shadow_kinds=light_shadow_kinds,
                         emit_debug=ci.view_mode != DebugViewType.NONE)
-    return dict(gb=gb, info=info, first_frame=first_frame)
+    return FrameBegin(gb=gb, info=info, first_frame=first_frame)
 
 
-def _frame_fx(begin: dict, scene, state: FrameState, ibl_maps,
+def _frame_fx(begin: FrameBegin, scene, state: FrameState, ibl_maps,
               settings: FrameSettings, atmosphere_lut, *,
               width: int, height: int, cfg: RasterizerConfig,
               ci: TaskManagerCreateInfo, use_ibl: bool,
               ssr_steps: int = 48):
     """Screen-space effects + composite + OIT + scattering + exposure."""
-    gb, info, first_frame = begin["gb"], begin["info"], begin["first_frame"]
+    gb, info, first_frame = begin.gb, begin.info, begin.first_frame
 
     # ---- PostFXContext -------------------------------------------------------
     from diligentfx_tpu.postfx.context import (disocclusion_mask,
@@ -549,21 +574,21 @@ def _frame_fx(begin: dict, scene, state: FrameState, ibl_maps,
         info = info._replace(renderer_params=info.renderer_params.replace(
             average_log_lum=adapted))
 
-    return dict(color=color, gb=gb, ao=ao, info=info, resources=resources,
-                first_frame=first_frame, new_ssao=new_ssao, new_ssr=new_ssr,
-                new_exposure=new_exposure, disocclusion=disocclusion,
-                depth_range=depth_range)
+    return FrameFx(color=color, gb=gb, ao=ao, info=info, resources=resources,
+                   first_frame=first_frame, new_ssao=new_ssao, new_ssr=new_ssr,
+                   new_exposure=new_exposure, disocclusion=disocclusion,
+                   depth_range=depth_range)
 
 
-def _frame_post(pre: dict, state: FrameState, settings: FrameSettings, *,
+def _frame_post(pre: FrameFx, state: FrameState, settings: FrameSettings, *,
                 width: int, height: int,
                 ci: TaskManagerCreateInfo) -> FrameOutput:
     """Temporal stack + tone map — the second half of the frame program."""
-    color, gb, ao = pre["color"], pre["gb"], pre["ao"]
-    info, resources = pre["info"], pre["resources"]
-    first_frame = pre["first_frame"]
-    new_ssao, new_ssr = pre["new_ssao"], pre["new_ssr"]
-    new_exposure = pre["new_exposure"]
+    color, gb, ao = pre.color, pre.gb, pre.ao
+    info, resources = pre.info, pre.resources
+    first_frame = pre.first_frame
+    new_ssao, new_ssr = pre.new_ssao, pre.new_ssr
+    new_exposure = pre.new_exposure
 
     # ---- TAA ------------------------------------------------------------------
     new_taa = state.taa
@@ -575,7 +600,7 @@ def _frame_post(pre: dict, state: FrameState, settings: FrameSettings, *,
         color, new_taa = fx_taa.taa_accumulate(
             color, taa_state, resources, settings.taa,
             feature_flags=ci.taa_feature_flags,
-            disocclusion=pre.get("disocclusion"))
+            disocclusion=pre.disocclusion)
 
     # ---- DoF / Bloom -----------------------------------------------------------
     new_dof = state.dof
@@ -617,7 +642,7 @@ def _frame_post(pre: dict, state: FrameState, settings: FrameSettings, *,
             ambient_diffuse=None, ambient_specular=None,
             spec_env_factor=None, background=None, debug=None)
     return FrameOutput(color=color, gbuffer=gb, state=new_state,
-                       depth_range=pre.get("depth_range"))
+                       depth_range=pre.depth_range)
 
 
 _frame_begin_jit = functools.partial(
