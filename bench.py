@@ -81,9 +81,13 @@ def main():
         # max_tiles_per_tri=8: the binning sort scales with T x K pairs
         # (16 -> 8 measured -20 ms at 1080p; raster stats show zero bin/big
         # overflow for this scene — see PERF_NOTES.md)
+        # sub_bins=4 + big_tile_capacity: segment candidates per (8, 128)
+        # sub-bin and bin big triangles by exact per-tile bbox overlap —
+        # measured z-loop work 357 -> 103 Mpx at 1080p (PERF_NOTES.md r4)
         cfg = RasterizerConfig(tile_h=32, tile_w=128, bin_capacity=1024,
                                max_tiles_per_tri=8, big_tri_capacity=64,
-                               chunk=8, pair_compaction_cap=1 << 17)
+                               chunk=8, pair_compaction_cap=1 << 17,
+                               sub_bins=4, big_tile_capacity=16)
         frames = args.frames
 
     from diligentfx_tpu.hydrogent.task_manager import (HnTaskManager,

@@ -261,12 +261,31 @@ class RasterizerConfig:
     # cost at high triangle counts).  Pairs past the cap are dropped and
     # counted in the overflow stat.  0 disables (bit-exact legacy path).
     pair_compaction_cap: int = 0
+    # > 1: bin small triangles at (tile_h / sub_bins, tile_w) granularity and
+    # have the fused kernel's z-loop evaluate each candidate only on its
+    # sub-bin's pixel rows.  The median bench triangle covers ~46 px but a
+    # full (32, 128) tile costs 4096 candidate-pixel evaluations — (8, 128)
+    # sub-bins cut the measured z-loop work 269 -> 100 Mpx at 1080p.  Each
+    # sub-bin holds up to bin_capacity // sub_bins candidates.  Fused-kernel
+    # path only; must divide tile_h into multiples of 8.
+    sub_bins: int = 1
+    # > 0: bin "big" triangles (bbox covering > max_tiles_per_tri bins) by
+    # EXACT per-tile bbox overlap into per-tile lists of this capacity,
+    # instead of appending the global big list to every tile (a full-screen
+    # ground plane costs every tile big_tri_capacity full-tile evaluations:
+    # 88 of 357 Mpx measured at 1080p; exact overlap is 3 Mpx).
+    big_tile_capacity: int = 0
 
     def __post_init__(self):
         if self.tile_w % 128 != 0:
             raise ValueError("tile_w must be a multiple of 128 (TPU lanes)")
         if self.tile_h % 8 != 0:
             raise ValueError("tile_h must be a multiple of 8 (f32 sublanes)")
+        if self.sub_bins > 1:
+            if self.tile_h % self.sub_bins or (self.tile_h // self.sub_bins) % 8:
+                raise ValueError("tile_h / sub_bins must be a multiple of 8")
+            if self.bin_capacity % self.sub_bins:
+                raise ValueError("bin_capacity must divide into sub_bins")
 
 
 @dataclass(frozen=True)

@@ -397,6 +397,138 @@ def _bin_triangles(valid: Array, bbox: Array, width: int, height: int,
     return candidates, compact, counts_total, max_count, overflow, big_overflow
 
 
+def _bin_triangles_sub(valid: Array, bbox: Array, width: int, height: int,
+                       cfg: RasterizerConfig):
+    """Sub-bin binning for the fused Pallas kernel (cfg.sub_bins > 1 or
+    cfg.big_tile_capacity > 0).
+
+    Small triangles bin at (tile_h / sub_bins, tile_w) granularity so the
+    kernel's z-loop evaluates each candidate only on its sub-bin's pixel rows
+    (the median triangle covers ~46 px; a full 32x128 tile evaluation wastes
+    56x that — measured in PERF_NOTES.md round 4).  Big triangles bin by
+    EXACT bbox overlap per kernel tile instead of broadcasting the global
+    big list to every tile.
+
+    Returns (cand (num_tiles, sub*cap_sub + big_cap) int32, row-compact per
+    segment with -1 padding; seg_counts (num_tiles, sub+1) int32;
+    max_count; overflow; big_overflow).  Candidate order within a segment is
+    submission order (stable), and every pixel sees its small candidates
+    before any big candidate — the same winner semantics as _bin_triangles.
+    """
+    sub = max(cfg.sub_bins, 1)
+    bin_h = cfg.tile_h // sub
+    cap_sub = cfg.bin_capacity // sub
+    big_cap = cfg.big_tile_capacity or cfg.big_tri_capacity
+    big_cap = -(-big_cap // cfg.chunk) * cfg.chunk   # chunk-aligned segment
+    tiles_x = width // cfg.tile_w
+    tiles_y = height // cfg.tile_h
+    num_tiles = tiles_x * tiles_y
+    bins_y = tiles_y * sub
+    num_bins = bins_y * tiles_x
+    t = valid.shape[0]
+
+    tx0 = jnp.clip(jnp.floor(bbox[:, 0] / cfg.tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    by0 = jnp.clip(jnp.floor(bbox[:, 1] / bin_h).astype(jnp.int32), 0, bins_y - 1)
+    tx1 = jnp.clip(jnp.floor(bbox[:, 2] / cfg.tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    by1 = jnp.clip(jnp.floor(bbox[:, 3] / bin_h).astype(jnp.int32), 0, bins_y - 1)
+    span_x = tx1 - tx0 + 1
+    span_y = by1 - by0 + 1
+    n_cover = span_x * span_y
+
+    is_small = valid & (n_cover <= cfg.max_tiles_per_tri)
+    is_big = valid & (n_cover > cfg.max_tiles_per_tri)
+
+    k = jnp.arange(cfg.max_tiles_per_tri, dtype=jnp.int32)
+    ky = k[None, :] // jnp.maximum(span_x[:, None], 1)
+    kx = k[None, :] - ky * jnp.maximum(span_x[:, None], 1)
+    pair_bin = (by0[:, None] + ky) * tiles_x + (tx0[:, None] + kx)
+    pair_valid = is_small[:, None] & (k[None, :] < n_cover[:, None])
+    pair_bin = jnp.where(pair_valid, pair_bin, num_bins)
+    pair_tri = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[:, None],
+                                pair_bin.shape)
+
+    bin_bits = max(int(num_bins + 1).bit_length(), 1)
+    tri_bits = max(int(t).bit_length(), 1)
+    assert bin_bits + tri_bits <= 31, (
+        f"sub-binning needs bin+tri ids to pack into an int31 "
+        f"({bin_bits}+{tri_bits}); lower sub_bins or split the raster")
+    cap = cfg.pair_compaction_cap or t * cfg.max_tiles_per_tri
+    n_small = jnp.where(is_small, n_cover, 0)
+    off = (jnp.cumsum(n_small) - n_small).astype(jnp.int32)
+    pos = off[:, None] + k[None, :]
+    oob = (cap + t * cfg.max_tiles_per_tri
+           + jax.lax.broadcasted_iota(jnp.int32, pos.shape, 0)
+           * cfg.max_tiles_per_tri + k[None, :])
+    pos = jnp.where(pair_valid, pos, oob).reshape(-1)
+    sentinel = jnp.int32(num_bins << tri_bits)
+    packed = (pair_bin << tri_bits) | pair_tri
+    buf = jnp.full((cap,), sentinel, jnp.int32)
+    buf = buf.at[pos].set(packed.reshape(-1), mode="drop", unique_indices=True)
+    packed = jnp.sort(buf)
+    sorted_bin = packed >> tri_bits
+    sorted_tri = packed & ((1 << tri_bits) - 1)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(sorted_bin), sorted_bin,
+        num_segments=num_bins + 1).astype(jnp.int32)[:num_bins]
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1]])
+    j = jnp.arange(cap_sub, dtype=jnp.int32)
+    gather_idx = starts[:, None] + j[None, :]
+    in_bin = j[None, :] < jnp.minimum(counts[:, None], cap_sub)
+    gather_idx = jnp.clip(gather_idx, 0, sorted_tri.shape[0] - 1)
+    cand_small = jnp.where(in_bin, sorted_tri[gather_idx], -1)  # (bins, capS)
+
+    # kernel-tile layout: segment j of tile (ty, tx) is bin (ty*sub + j, tx).
+    # The transpose runs on the small int32 candidate table (not on gathered
+    # f32 setup rows — those XLA transposes are pathological, PERF_NOTES.md).
+    cand_small = (cand_small
+                  .reshape(tiles_y, sub, tiles_x, cap_sub)
+                  .transpose(0, 2, 1, 3)
+                  .reshape(num_tiles, sub * cap_sub))
+    counts_small = jnp.minimum(counts, cap_sub)
+    seg_counts = (counts_small
+                  .reshape(tiles_y, sub, tiles_x)
+                  .transpose(0, 2, 1)
+                  .reshape(num_tiles, sub))
+
+    # --- big triangles: exact per-tile bbox overlap ------------------------
+    big_rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
+    gslot = jnp.where(is_big & (big_rank < cfg.big_tri_capacity), big_rank,
+                      cfg.big_tri_capacity)
+    big_ids = jnp.full((cfg.big_tri_capacity + 1,), -1, jnp.int32).at[gslot].set(
+        jnp.arange(t, dtype=jnp.int32), mode="drop")[:cfg.big_tri_capacity]
+    n_big = jnp.sum(is_big.astype(jnp.int32))
+    big_valid = jnp.arange(cfg.big_tri_capacity, dtype=jnp.int32) < n_big
+
+    safe_big = jnp.maximum(big_ids, 0)
+    btx0, bty0 = tx0[safe_big], by0[safe_big] // sub   # kernel-tile coords
+    btx1, bty1 = tx1[safe_big], by1[safe_big] // sub
+    tid2 = jnp.arange(num_tiles, dtype=jnp.int32)
+    ttx = (tid2 % tiles_x)[:, None]
+    tty = (tid2 // tiles_x)[:, None]
+    ov = (big_valid[None, :] & (ttx >= btx0[None, :]) & (ttx <= btx1[None, :])
+          & (tty >= bty0[None, :]) & (tty <= bty1[None, :]))  # (tiles, B)
+    bpos = jnp.cumsum(ov.astype(jnp.int32), axis=1) - 1
+    rows2 = jnp.broadcast_to(tid2[:, None], ov.shape)
+    cand_big = jnp.full((num_tiles, big_cap + 1), -1, jnp.int32)
+    cand_big = cand_big.at[rows2, jnp.where(ov, jnp.minimum(bpos, big_cap),
+                                            big_cap)].set(
+        jnp.broadcast_to(big_ids[None, :], ov.shape), mode="drop")[:, :big_cap]
+    big_counts = jnp.minimum(jnp.sum(ov.astype(jnp.int32), axis=1), big_cap)
+
+    cand = jnp.concatenate([cand_small, cand_big], axis=1)
+    seg_counts = jnp.concatenate([seg_counts, big_counts[:, None]], axis=1)
+
+    max_count = jnp.max(counts)
+    overflow = jnp.sum(jnp.maximum(counts - cap_sub, 0))
+    total_pairs = jnp.sum(jnp.where(is_small, n_cover, 0))
+    overflow = overflow + jnp.maximum(total_pairs - cap, 0)
+    big_overflow = (jnp.maximum(n_big - cfg.big_tri_capacity, 0)
+                    + jnp.sum(jnp.maximum(
+                        jnp.sum(ov.astype(jnp.int32), axis=1) - big_cap, 0)))
+    return cand, seg_counts, max_count, overflow, big_overflow
+
+
 def _raster_tiles(setup: Array, candidates: Array, width: int, height: int,
                   cfg: RasterizerConfig, depth_clear: float, depth_less: bool,
                   screen_offset=(0, 0)):
@@ -594,8 +726,17 @@ def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
     # the epilogue with the other per-winner values
     planes = jnp.concatenate([planes, _orig[:, None].astype(jnp.float32)],
                              axis=-1)
-    _, compact, counts, max_count, overflow, big_overflow = _bin_triangles(
-        valid, bbox, width, height, cfg)
+    sub_kw = {}
+    if cfg.sub_bins > 1 or cfg.big_tile_capacity > 0:
+        compact, counts, max_count, overflow, big_overflow = \
+            _bin_triangles_sub(valid, bbox, width, height, cfg)
+        sub = max(cfg.sub_bins, 1)
+        cap_sub = cfg.bin_capacity // sub
+        sub_kw = dict(sub=sub, cap_sub=cap_sub,
+                      big_cap=compact.shape[1] - sub * cap_sub)
+    else:
+        _, compact, counts, max_count, overflow, big_overflow = _bin_triangles(
+            valid, bbox, width, height, cfg)
     tiles_x = width // cfg.tile_w
     tiles_y = height // cfg.tile_h
     n_const = (0 if tri_consts is None else tri_consts.shape[1]) + 1
@@ -611,7 +752,7 @@ def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
                                deriv_channels=deriv_channels,
                                depth_less=depth_less, chunk=cfg.chunk,
                                transpose_in_kernel=tk,
-                               screen_offset=screen_offset)
+                               screen_offset=screen_offset, **sub_kw)
         finally:
             _pl.pallas_call = orig_call
     else:
@@ -621,7 +762,7 @@ def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
                            deriv_channels=deriv_channels,
                            depth_less=depth_less, chunk=cfg.chunk,
                            transpose_in_kernel=tk,
-                           screen_offset=screen_offset)
+                           screen_offset=screen_offset, **sub_kw)
 
     # kernel outputs are already final (H, W) / (C, H, W) images
     z, tid, out = zt, idt, outt

@@ -175,7 +175,18 @@ def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
 
     jax.lax.fori_loop(0, pl.cdiv(count, chunk), body, 0)
 
-    # ---- epilogue: tile-local interpolation + material fetch ---------------
+    _fused_epilogue(planesT_ref, mattab_ref, z_ref, id_ref, out_ref,
+                    slot_scr, px, py, th=th, tw=tw, cap_pad=cap_pad,
+                    depth_sign=depth_sign, n_ch=n_ch, n_const=n_const,
+                    deriv_channels=deriv_channels, n_mrow=n_mrow,
+                    m_pad=m_pad, transpose_in_kernel=transpose_in_kernel)
+
+
+def _fused_epilogue(planesT_ref, mattab_ref, z_ref, id_ref, out_ref,
+                    slot_scr, px, py, *, th, tw, cap_pad, depth_sign,
+                    n_ch, n_const, deriv_channels, n_mrow, m_pad,
+                    transpose_in_kernel):
+    """Tile-local interpolation + material fetch over the winning slots."""
     slot = slot_scr[...]
     pt = planesT_ref[0]
     if transpose_in_kernel:
@@ -220,9 +231,81 @@ def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
         out_ref[i] = o
 
 
+def _fused_tile_kernel_sub(counts_ref,          # (num_tiles, sub+1) prefetch
+                           tiles_x_ref, setup_ref, planesT_ref, mattab_ref,
+                           z_ref, id_ref, out_ref, slot_scr,
+                           *, th: int, tw: int, sub: int, cap_sub: int,
+                           big_cap: int, cap_pad: int, chunk: int,
+                           depth_sign: float, depth_clear: float,
+                           n_ch: int, n_const: int, deriv_channels: tuple,
+                           n_mrow: int, m_pad: int,
+                           transpose_in_kernel: bool):
+    """_fused_tile_kernel with SUB-BINNED candidates: the candidate table's
+    segment j (rows [j*cap_sub, (j+1)*cap_sub)) holds only triangles whose
+    bbox intersects the tile's pixel rows [j*sbh, (j+1)*sbh), so the z-loop
+    evaluates each small candidate on sbh*tw pixels instead of th*tw (3.5x
+    less z-loop work measured on the 1080p bench scene, PERF_NOTES.md r4).
+    The final segment (exact-bbox-filtered big triangles) evaluates on the
+    full tile.  Winner semantics match the unsegmented kernel: submission
+    order within a segment; every pixel sees smalls before bigs."""
+    t = pl.program_id(0)
+    tiles_x = tiles_x_ref[0]
+    sbh = th // sub
+
+    x0 = ((t % tiles_x) * tw + tiles_x_ref[1]).astype(jnp.float32)
+    y0 = ((t // tiles_x) * th + tiles_x_ref[2]).astype(jnp.float32)
+    px = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + 0.5
+    py = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
+
+    z_ref[...] = jnp.full((th, tw), depth_clear, jnp.float32)
+    slot_scr[...] = jnp.zeros((th, tw), jnp.int32)
+
+    def seg_loop(base, count, pxs, pys, r0, rh):
+        """z-loop of one segment over pixel rows [r0, r0+rh)."""
+        def body(i, _):
+            off = pl.multiple_of(base + i * chunk, chunk)
+            s = setup_ref[0, pl.ds(off, chunk), :]           # (chunk, 16)
+
+            def coef(j):
+                return s[:, j][:, None, None]
+
+            l0 = coef(0) * pxs[None] + coef(1) * pys[None] + coef(2)
+            l1 = coef(3) * pxs[None] + coef(4) * pys[None] + coef(5)
+            l2 = 1.0 - l0 - l1
+            z = coef(6) * pxs[None] + coef(7) * pys[None] + coef(8)
+            idxs = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0)
+            live = idxs < (count - i * chunk)
+            cover = (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0) & live
+            zc = jnp.where(cover, depth_sign * z, jnp.inf)
+            best = jnp.min(zc, axis=0)
+            bk = jnp.argmin(zc, axis=0)
+            zs = z_ref[r0:r0 + rh]
+            take = best < depth_sign * zs
+            z_ref[r0:r0 + rh] = jnp.where(take, depth_sign * best, zs)
+            ss = slot_scr[r0:r0 + rh]
+            slot_scr[r0:r0 + rh] = jnp.where(take, off + bk, ss)
+            return 0
+
+        jax.lax.fori_loop(0, pl.cdiv(count, chunk), body, 0)
+
+    for j in range(sub):
+        cnt = jnp.minimum(counts_ref[t, j], cap_sub)
+        seg_loop(j * cap_sub, cnt,
+                 px[j * sbh:(j + 1) * sbh], py[j * sbh:(j + 1) * sbh],
+                 j * sbh, sbh)
+    cnt_b = jnp.minimum(counts_ref[t, sub], big_cap)
+    seg_loop(sub * cap_sub, cnt_b, px, py, 0, th)
+
+    _fused_epilogue(planesT_ref, mattab_ref, z_ref, id_ref, out_ref,
+                    slot_scr, px, py, th=th, tw=tw, cap_pad=cap_pad,
+                    depth_sign=depth_sign, n_ch=n_ch, n_const=n_const,
+                    deriv_channels=deriv_channels, n_mrow=n_mrow,
+                    m_pad=m_pad, transpose_in_kernel=transpose_in_kernel)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "th", "tw", "tiles_x", "n_ch", "n_const", "deriv_channels", "depth_less",
-    "chunk", "transpose_in_kernel"))
+    "chunk", "transpose_in_kernel", "sub", "cap_sub", "big_cap"))
 def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
                               counts: Array, mat_table: Optional[Array], *,
                               th: int, tw: int, tiles_x: int,
@@ -230,14 +313,18 @@ def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
                               deriv_channels: tuple = (),
                               depth_less: bool = True, chunk: int = 8,
                               transpose_in_kernel: bool = False,
-                              screen_offset=(0, 0)):
+                              screen_offset=(0, 0),
+                              sub: int = 0, cap_sub: int = 0,
+                              big_cap: int = 0):
     """Fused visibility raster + attribute interpolation + material fetch.
 
     Args:
       setup: (T, 16) raster plane coefficients (raster._triangle_setup).
       planes: (T, P) attribute planes: [D(3), (A,B,C) per channel, consts]
         with P = 3*(n_ch+1) + n_const (raster._triangle_setup attrs path).
-      candidates/counts: compact per-tile lists (raster._bin_triangles).
+      candidates/counts: compact per-tile lists (raster._bin_triangles), OR —
+        when sub > 0 — the segmented layout of raster._bin_triangles_sub
+        (candidates (tiles, sub*cap_sub + big_cap), counts (tiles, sub+1)).
       mat_table: optional (n_mrow, M) material table transposed; const 0 must
         then be the per-triangle material id.
     Returns (z (H, W) f32, id (H, W) i32, out (OUT_CH, H, W) f32) with
@@ -276,12 +363,24 @@ def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
     # the last const is the tri id consumed in-kernel, not emitted
     out_ch = n_ch + 2 * len(deriv_channels) + (n_const - 1) + n_mrow
     depth_clear = jnp.inf if depth_less else -jnp.inf
-    kernel = functools.partial(
-        _fused_tile_kernel, th=th, tw=tw, cap=cap, cap_pad=cap_pad,
-        chunk=chunk, depth_sign=1.0 if depth_less else -1.0,
-        depth_clear=float(depth_clear), n_ch=n_ch, n_const=n_const,
-        deriv_channels=tuple(deriv_channels), n_mrow=n_mrow, m_pad=m_pad,
-        transpose_in_kernel=transpose_in_kernel)
+    if sub > 0:
+        assert cap_sub % chunk == 0 and big_cap % chunk == 0, \
+            "segment capacities must be chunk-aligned"
+        assert cap == sub * cap_sub + big_cap, (cap, sub, cap_sub, big_cap)
+        kernel = functools.partial(
+            _fused_tile_kernel_sub, th=th, tw=tw, sub=sub, cap_sub=cap_sub,
+            big_cap=big_cap, cap_pad=cap_pad, chunk=chunk,
+            depth_sign=1.0 if depth_less else -1.0,
+            depth_clear=float(depth_clear), n_ch=n_ch, n_const=n_const,
+            deriv_channels=tuple(deriv_channels), n_mrow=n_mrow, m_pad=m_pad,
+            transpose_in_kernel=transpose_in_kernel)
+    else:
+        kernel = functools.partial(
+            _fused_tile_kernel, th=th, tw=tw, cap=cap, cap_pad=cap_pad,
+            chunk=chunk, depth_sign=1.0 if depth_less else -1.0,
+            depth_clear=float(depth_clear), n_ch=n_ch, n_const=n_const,
+            deriv_channels=tuple(deriv_channels), n_mrow=n_mrow, m_pad=m_pad,
+            transpose_in_kernel=transpose_in_kernel)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

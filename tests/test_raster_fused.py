@@ -76,3 +76,46 @@ def test_fused_matches_two_pass():
     mtab = np.asarray(mat_table)
     mrow_ref = mtab[:, mt[tid[hit]].astype(int)].T
     np.testing.assert_allclose(got[..., 9:25][hit], mrow_ref, atol=1e-6)
+
+
+def test_sub_binned_matches_baseline():
+    """cfg.sub_bins + cfg.big_tile_capacity (the round-4 z-loop reduction:
+    segment candidates per (tile_h/sub, tile_w) sub-bin + exact per-tile big
+    lists) must be BIT-exact vs the unsegmented kernel — same winner
+    tie-break (submission order within segment, smalls before bigs)."""
+    W = H = 256
+    clip, idx, attrs = _scene(n=120, seed=3)
+    # make a handful of screen-filling triangles so the big path is exercised
+    clipn = np.asarray(clip).copy()
+    clipn[:9, :2] *= 12.0
+    clip = jnp.asarray(clipn)
+    winv = jnp.where(jnp.abs(clip[:, 3]) > 1e-12, 1.0 / clip[:, 3], 0.0)
+    n = idx.shape[0]
+    rng = np.random.default_rng(4)
+    consts = jnp.stack([jnp.asarray(rng.integers(0, 4, n).astype(np.float32)),
+                        jnp.asarray(rng.integers(0, 7, n).astype(np.float32))],
+                       -1)
+    mat_table = jnp.asarray(rng.standard_normal((16, 4)).astype(np.float32))
+    ds = jnp.ones((n,), bool)
+    # at 8-px bin granularity more triangles classify as "big" (bbox rows
+    # count in bins) — capacities must absorb them for a zero-overflow
+    # comparison (overflow policies legitimately differ between the paths)
+    base = dict(tile_w=128, bin_capacity=64, max_tiles_per_tri=8, chunk=8)
+    cfg0 = RasterizerConfig(tile_h=32, big_tri_capacity=64, **base)
+    cfg1 = RasterizerConfig(tile_h=32, sub_bins=4, big_tri_capacity=256,
+                            big_tile_capacity=128, **base)
+    vb0, out0, st0 = rz.rasterize_fused(
+        clip, idx, attrs, winv, consts, mat_table, width=W, height=H,
+        cfg=cfg0, n_ch=5, deriv_channels=(3,), double_sided=ds,
+        interpret=True)
+    vb1, out1, st1 = rz.rasterize_fused(
+        clip, idx, attrs, winv, consts, mat_table, width=W, height=H,
+        cfg=cfg1, n_ch=5, deriv_channels=(3,), double_sided=ds,
+        interpret=True)
+    assert int(st0.big_overflow) == 0 and int(st1.big_overflow) == 0
+    assert int(st1.bin_overflow) == 0
+    np.testing.assert_array_equal(np.asarray(vb0.tri_id),
+                                  np.asarray(vb1.tri_id))
+    np.testing.assert_array_equal(np.asarray(vb0.depth),
+                                  np.asarray(vb1.depth))
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-5)
