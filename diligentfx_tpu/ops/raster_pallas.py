@@ -231,7 +231,7 @@ def _fused_epilogue(planesT_ref, mattab_ref, z_ref, id_ref, out_ref,
         out_ref[i] = o
 
 
-def _fused_tile_kernel_sub(counts_ref,          # (num_tiles, sub+1) prefetch
+def _fused_tile_kernel_sub(counts_ref,  # (num_tiles*(sub+1),) prefetch, flat
                            tiles_x_ref, setup_ref, planesT_ref, mattab_ref,
                            z_ref, id_ref, out_ref, slot_scr,
                            *, th: int, tw: int, sub: int, cap_sub: int,
@@ -259,6 +259,16 @@ def _fused_tile_kernel_sub(counts_ref,          # (num_tiles, sub+1) prefetch
 
     z_ref[...] = jnp.full((th, tw), depth_clear, jnp.float32)
     slot_scr[...] = jnp.zeros((th, tw), jnp.int32)
+
+    def seg_coords(r0, rh):
+        # fresh (rh, tw) iotas per segment: SLICING the (th, tw) px/py
+        # values crashes the Mosaic compiler (SIGABRT in window inference,
+        # bisected round 4) — recomputing is also cheaper than a relayout
+        pxs = x0 + jax.lax.broadcasted_iota(
+            jnp.int32, (rh, tw), 1).astype(jnp.float32) + 0.5
+        pys = y0 + jax.lax.broadcasted_iota(
+            jnp.int32, (rh, tw), 0).astype(jnp.float32) + (r0 + 0.5)
+        return pxs, pys
 
     def seg_loop(base, count, pxs, pys, r0, rh):
         """z-loop of one segment over pixel rows [r0, r0+rh)."""
@@ -289,11 +299,10 @@ def _fused_tile_kernel_sub(counts_ref,          # (num_tiles, sub+1) prefetch
         jax.lax.fori_loop(0, pl.cdiv(count, chunk), body, 0)
 
     for j in range(sub):
-        cnt = jnp.minimum(counts_ref[t, j], cap_sub)
-        seg_loop(j * cap_sub, cnt,
-                 px[j * sbh:(j + 1) * sbh], py[j * sbh:(j + 1) * sbh],
-                 j * sbh, sbh)
-    cnt_b = jnp.minimum(counts_ref[t, sub], big_cap)
+        cnt = jnp.minimum(counts_ref[t * (sub + 1) + j], cap_sub)
+        pxs, pys = seg_coords(j * sbh, sbh)
+        seg_loop(j * cap_sub, cnt, pxs, pys, j * sbh, sbh)
+    cnt_b = jnp.minimum(counts_ref[t * (sub + 1) + sub], big_cap)
     seg_loop(sub * cap_sub, cnt_b, px, py, 0, th)
 
     _fused_epilogue(planesT_ref, mattab_ref, z_ref, id_ref, out_ref,
@@ -367,6 +376,7 @@ def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
         assert cap_sub % chunk == 0 and big_cap % chunk == 0, \
             "segment capacities must be chunk-aligned"
         assert cap == sub * cap_sub + big_cap, (cap, sub, cap_sub, big_cap)
+        counts = counts.reshape(-1)   # Mosaic prefers flat scalar prefetch
         kernel = functools.partial(
             _fused_tile_kernel_sub, th=th, tw=tw, sub=sub, cap_sub=cap_sub,
             big_cap=big_cap, cap_pad=cap_pad, chunk=chunk,

@@ -66,6 +66,10 @@ def main():
 
     variants = [
         ("base", base(), "auto"),
+        ("subbin", base(sub_bins=4, big_tile_capacity=16), "auto"),
+        ("subbin_c16", base(sub_bins=4, big_tile_capacity=16, chunk=16), "auto"),
+        ("bigfilter_only", base(big_tile_capacity=16), "auto"),
+        ("subbin_th64", base(tile_h=64, sub_bins=8, big_tile_capacity=16), "auto"),
         ("fuse_off", base(big_tri_capacity=65), "off"),
         ("cap512", base(bin_capacity=512), "auto"),
         ("no_pair_compaction", base(pair_compaction_cap=0), "auto"),
