@@ -44,17 +44,24 @@ def make_render_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
     return Mesh(arr, ("dp", "sp"))
 
 
-def band_halo_exchange(band: Array, halo: int, axis_name: str = "sp") -> Array:
+def band_halo_exchange(band: Array, halo: int, axis_name: str = "sp",
+                       wrap: bool = False) -> Array:
     """Exchange `halo` rows with the neighboring devices along the sp axis and
-    return the band padded to (h + 2*halo, ...).  Devices at the image edge
-    receive zero pads (ppermute's missing-source semantics).  Use inside
-    shard_map for screen-space filters that cross band boundaries."""
+    return the band padded to (h + 2*halo, ...).  Use inside shard_map for
+    screen-space filters that cross band boundaries.
+
+    wrap=False: devices at the image edge receive zero pads (ppermute's
+    missing-source semantics) — callers usually overwrite these with the
+    edge rows (edge-clamp, `bilinear_sample` semantics).
+    wrap=True: a full ring — band 0's top halo is the LAST band's bottom
+    rows, which is exactly `jnp.roll`'s global wrap, so halo'd 3×3 windows
+    reproduce the monolithic frame's roll-based filters bit-exactly."""
     n = jax.lax.axis_size(axis_name)
     # My bottom rows become the device below's top halo, and vice versa.
-    from_above = jax.lax.ppermute(band[-halo:], axis_name,
-                                  [(i, i + 1) for i in range(n - 1)])
-    from_below = jax.lax.ppermute(band[:halo], axis_name,
-                                  [(i + 1, i) for i in range(n - 1)])
+    down = [(i, (i + 1) % n) for i in range(n if wrap else n - 1)]
+    up = [((i + 1) % n, i) for i in range(n if wrap else n - 1)]
+    from_above = jax.lax.ppermute(band[-halo:], axis_name, down)
+    from_below = jax.lax.ppermute(band[:halo], axis_name, up)
     return jnp.concatenate([from_above, band, from_below], axis=0)
 
 

@@ -119,15 +119,18 @@ def render_forward_banded(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
 
 class BandedFrameState(NamedTuple):
     """Temporal history for the banded pipeline: image-shaped entries live
-    band-sharded on their device; SSR history (at march resolution) is
-    replicated (the march reads the whole screen)."""
+    band-sharded on their device; SSR history (at march resolution), the DoF
+    CoC history, and the frame scalars are replicated (their effects consume
+    globally gathered inputs, so every device computes identical copies)."""
     frame_index: Array
     prev_view_proj: Array
-    taa_color: Optional[Array] = None        # (H, W, 3) band-sharded
-    taa_count: Optional[Array] = None        # (H, W) band-sharded
-    ssao_history: Optional[Array] = None     # (H, W) band-sharded
-    ssr_radiance: Optional[Array] = None     # (h', w', 4) replicated
-    prev_depth: Optional[Array] = None       # (H, W) band-sharded
+    taa_color: Optional[Array] = None         # (H, W, 3) band-sharded
+    taa_count: Optional[Array] = None         # (H, W) band-sharded
+    ssao_history: Optional[Array] = None      # (H, W) band-sharded
+    ssao_depth_history: Optional[Array] = None  # (H, W) band-sharded
+    ssr_radiance: Optional[Array] = None      # (h', w', 4) replicated
+    dof_coc: Optional[Array] = None           # (H, W) replicated
+    prev_depth: Optional[Array] = None        # (H, W) band-sharded
 
 
 def _edge_clamped_halo(x: Array, halo: int, axis_name: str) -> Array:
@@ -145,15 +148,16 @@ def _edge_clamped_halo(x: Array, halo: int, axis_name: str) -> Array:
 
 def initial_banded_state(width: int, height: int, mesh: Mesh, *,
                          enable_taa=True, enable_ssao=True, enable_ssr=True,
+                         enable_dof=False,
                          ssr_divisor: int = 2,
                          axis_name: str = "sp") -> BandedFrameState:
     from diligentfx_tpu.parallel.mesh import band_sharding, replicated
-    n = mesh.shape[axis_name]
+    from diligentfx_tpu.postfx.ssr import ssr_state_shape
     band = NamedSharding(mesh, P(axis_name))
     repl = replicated(mesh)
     z1 = jnp.zeros((height, width), jnp.float32)
     z3 = jnp.zeros((height, width, 3), jnp.float32)
-    hs, ws = -(-height // ssr_divisor), -(-width // ssr_divisor)
+    hs, ws = ssr_state_shape(height, width, ssr_divisor, False)
     put = jax.device_put
     return BandedFrameState(
         frame_index=put(jnp.int32(0), repl),
@@ -161,8 +165,10 @@ def initial_banded_state(width: int, height: int, mesh: Mesh, *,
         taa_color=put(z3, band) if enable_taa else None,
         taa_count=put(z1, band) if enable_taa else None,
         ssao_history=put(z1 + 1.0, band) if enable_ssao else None,
+        ssao_depth_history=put(z1 + 1.0, band) if enable_ssao else None,
         ssr_radiance=(put(jnp.zeros((hs, ws, 4), jnp.float32), repl)
                       if enable_ssr else None),
+        dof_coc=put(z1, repl) if enable_dof else None,
         prev_depth=put(z1 + 1.0, band),
     )
 
@@ -176,37 +182,66 @@ def render_frame_banded(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
                         enable_ssr: bool = True,
                         enable_taa: bool = True,
                         enable_bloom: bool = True,
+                        enable_dof: bool = False,
+                        oit_layer_count: int = 4,
                         ssr_divisor: int = 2,
                         ssr_steps: int = 24,
+                        ssr_use_pallas: bool = False,
+                        ssao_half_resolution: bool = True,
                         ssao_num_slices: int = 2, ssao_num_steps: int = 4,
+                        taa_feature_flags: Optional[int] = None,
                         tone_mapping_mode=None,
+                        convert_output_to_srgb: bool = False,
+                        jitter_seq: Optional[Array] = None,
                         halo: int = 16,
                         axis_name: str = "sp"):
-    """The FULL deferred frame (G-buffer → SSAO → SSR → composite → TAA →
-    bloom → tone map) with the framebuffer row-banded over `axis_name` — the
-    multi-chip analogue of HnTaskManager.execute (SURVEY.md §5.7/§5.8: the
-    pixel grid is the long dimension; this is the CP/SP design).
+    """The FULL deferred frame (G-buffer → SSAO → SSR → composite → OIT →
+    TAA → DoF → bloom → tone map) with the framebuffer row-banded over
+    `axis_name` — the multi-chip analogue of HnTaskManager.execute
+    (SURVEY.md §5.7/§5.8: the pixel grid is the long dimension).
 
-    Communication pattern per frame, all over ICI:
-      * G-buffer: none (viewport-banded raster, pixel-local shading),
-      * SSAO: `halo`-row edge-clamped halo exchange (ppermute) for taps +
-        bilateral blur; taps clamp to the halo (the same contract as the
-        Pallas warp kernel's fixed halo),
-      * SSR: all_gather of the march-resolution inputs (the hi-Z march reads
-        the whole screen, like the reference's global-memory DDA),
-      * TAA: halo exchange for the 3×3 variance neighborhood; history
-        reprojection is band-local with motion rows clamped to the halo,
-      * bloom: all_gather of the pre-bloom color (the mip pyramid is global).
+    Every effect runs the SAME implementation as the single-chip pipeline —
+    there is no banded fork (round-3's inline simplified TAA/SSAO copies are
+    gone).  Per-effect communication, all over ICI:
+
+      * G-buffer + OIT K-layers: none (viewport-banded raster, pixel-local
+        shading; the K-layer raster takes the band's integer viewport offset
+        so it is bit-exact vs the monolithic frame),
+      * PostFXContext: 1-row wrap halo (ppermute ring = `jnp.roll` global
+        wrap, so closest-motion dilation is bit-exact),
+      * SSAO compute: all_gather of the half-res depth + view normal — the
+        GTAO mip ladder's far taps read globally-averaged depth, which a
+        fixed halo cannot bound; each device computes the identical AO
+        (replicated work at half res), then band-slices.  The temporal
+        stage runs band-locally through the shared fx_ssao.ssao_temporal
+        with halo-exchanged history warps,
+      * SSR: all_gather of the full-res inputs (the hi-Z march reads the
+        whole screen, like the reference's global-memory DDA); the shared
+        fx_ssr.compute_ssr runs with IDENTICAL arguments to the single-chip
+        path and the result band-slices,
+      * TAA: shared fx_taa.taa_accumulate with a BandCtx — history warp on
+        halo-exchanged rows (vertical motion clamped to halo-3 px), moment
+        windows on a wrap halo (bit-exact vs the monolithic frame),
+      * DoF + bloom: all_gather of the color (their pyramids/tap fields are
+        global), shared implementations, band-slice.
 
     Returns (color (H, W, 3) band-sharded, new BandedFrameState).
     """
     from diligentfx_tpu.pbr.deferred import render_gbuffer_band_sp
     from diligentfx_tpu.postfx import bloom as fx_bloom
+    from diligentfx_tpu.postfx import dof as fx_dof
     from diligentfx_tpu.postfx import ssao as fx_ssao
     from diligentfx_tpu.postfx import ssr as fx_ssr
     from diligentfx_tpu.postfx import taa as fx_taa
+    from diligentfx_tpu.postfx.context import (BandCtx, PostFXResources,
+                                               dilate_closest_motion,
+                                               disocclusion_mask)
     from diligentfx_tpu.postfx.tonemap import ToneMappingAttribs, tone_map
 
+    if taa_feature_flags is None:
+        taa_feature_flags = (fx_taa.TAAFeatureFlags.BICUBIC_FILTER
+                             | fx_taa.TAAFeatureFlags.YCOCG_COLOR_SPACE
+                             | fx_taa.TAAFeatureFlags.GAUSSIAN_WEIGHTING)
     n_bands = mesh.shape[axis_name]
     assert height % (n_bands * cfg.tile_h) == 0, (height, n_bands, cfg.tile_h)
     band_h = height // n_bands
@@ -216,68 +251,77 @@ def render_frame_banded(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
         b = jax.lax.axis_index(axis_name)
         y0 = b * band_h
         first = st.frame_index == 0
+        if jitter_seq is not None and enable_taa:
+            # BeginFrame TAA camera jitter — same sequence/indexing as
+            # HnTaskManager._begin_camera so the banded frame is comparable
+            # to the single-chip pipeline frame-for-frame
+            from diligentfx_tpu.attribs import CameraAttribs
+            from diligentfx_tpu.postfx.context import (apply_jitter_to_proj,
+                                                       jitter_to_ndc)
+            cam = info_.camera
+            j_px = jitter_seq[jnp.mod(st.frame_index, jitter_seq.shape[0])]
+            j_ndc = jitter_to_ndc(j_px, width, height)
+            cam_j = CameraAttribs.create(
+                cam.view, apply_jitter_to_proj(cam.proj, j_ndc), cam.position,
+                cam.near_z, cam.far_z, width, height, jitter=j_ndc)
+            info_ = info_._replace(camera=cam_j)
         info_ = info_._replace(prev_view_proj=jnp.where(
             first, info_.camera.view_proj, st.prev_view_proj))
+
+        def extend(x, hl, wrap=False):
+            if wrap:
+                return band_halo_exchange(x, hl, axis_name, wrap=True)
+            return _edge_clamped_halo(x, hl, axis_name)
+
+        band = BandCtx(extend=extend, y0=y0, full_h=height, halo=halo)
+        gath = lambda x: jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
 
         gb = render_gbuffer_band_sp(
             scene_, info_, ibl_, env_, width=width, band_h=band_h,
             full_height=height, band_y0=y0, cfg=cfg, use_ibl=use_ibl)
 
-        # strip the leading sharded dim shard_map gives image-shaped state
-        def band_of(x):
-            return None if x is None else x
+        # ---- PostFXContext (shared dilation over a wrap halo) --------------
+        dext = extend(gb.depth, 1, wrap=True)
+        mext = extend(gb.motion, 1, wrap=True)
+        closest = dilate_closest_motion(dext, mext)[1:1 + band_h]
+        prev_depth = st.prev_depth if st.prev_depth is not None else gb.depth
+        resources = PostFXResources(
+            camera=info_.camera, prev_camera=info_.camera,
+            depth=gb.depth, prev_depth=prev_depth, motion=gb.motion,
+            closest_motion=closest,
+            frame_index=jnp.asarray(st.frame_index, jnp.int32))
+        disocclusion = None
+        if st.prev_depth is not None:
+            disocclusion = disocclusion_mask(
+                gb.depth, st.prev_depth, gb.motion, info_.camera,
+                st.prev_view_proj, band=band) | first
 
-        # ---- SSAO (halo-exchanged taps at half res) -----------------------
+        # ---- SSAO (shared compute on gathered half-res inputs) -------------
         ao = jnp.ones((band_h, width), jnp.float32)
-        new_ssao = band_of(st.ssao_history)
+        new_ssao = st.ssao_history
+        new_ssao_cd = st.ssao_depth_history
         if enable_ssao:
-            # Parity contract (banded == 1-band): every AO row that can
-            # influence an interior output row must see its FULL vertical tap
-            # extent inside the extended array.  Influence chain: upsample
-            # reads ±1 half row, bilateral blur reads ±3, GTAO taps read
-            # ±tap_v with +1 for the bilinear floor.  So the half-res halo
-            # must satisfy h2 >= 1 + 3 + tap_v + 1; h2 is the SAME for every
-            # band count (min over band height caps it only on tiny bands).
-            band2 = band_h // 2
-            blur_r = 3
-            h2 = min(12, band2)
-            tap_v = float(max(h2 - (blur_r + 2), 1))
-            d2 = gb.depth[::2, ::2]
-            n2 = gb.normal_view[::2, ::2]
-            d2x = _edge_clamped_halo(d2, h2, axis_name)
-            n2x = _edge_clamped_halo(n2, h2, axis_name)
-            row0_half = (y0 // 2) - h2
-            ao_x = fx_ssao.compute_gtao(
-                d2x, n2x, info_.camera, st.frame_index,
-                num_slices=ssao_num_slices, num_steps=ssao_num_steps,
-                row0=row0_half, full_h=height // 2,
-                max_tap_px=(63.0, tap_v), use_mips=False)
-            ao_x = fx_ssao.bilateral_blur(ao_x, d2x, info_.camera,
-                                          radius=blur_r)
-            # upsample WITH one half-res halo row so the 2x bilinear resize
-            # (which samples input row i/2 - 0.25) never clamps at interior
-            # band edges; crop the 2 full-res halo rows after
-            ao2e = ao_x[h2 - 1: h2 + band2 + 1]
-            from diligentfx_tpu.ops.sampling import upsample_bilinear
-            ao_e = upsample_bilinear(ao2e, 2, 2)[:band_h + 4, :width]
-            ao = ao_e[2:band_h + 2]
-            if st.ssao_history is not None:
-                hist = st.ssao_history
-                acc = jnp.zeros_like(ao); acc2 = jnp.zeros_like(ao)
-                aox = _edge_clamped_halo(ao, 1, axis_name)
-                for dy in (0, 1, 2):
-                    for dx in (-1, 0, 1):
-                        sroll = jnp.roll(aox, dx, axis=1)[dy:dy + band_h]
-                        acc = acc + sroll
-                        acc2 = acc2 + sroll * sroll
-                mean = acc / 9.0
-                std = jnp.sqrt(jnp.maximum(acc2 / 9.0 - mean * mean, 0.0))
-                hist = jnp.clip(hist, mean - 2.0 * std, mean + 2.0 * std)
-                a = jnp.where(first, 1.0, 0.1)
-                ao = hist + (ao - hist) * a
-            new_ssao = ao
+            s = 2 if ssao_half_resolution else 1
+            d_g = gath(gb.depth[::s, ::s])
+            n_g = gath(gb.normal_view[::s, ::s])
+            ao_full = fx_ssao.compute_gtao(
+                d_g, n_g, info_.camera, st.frame_index,
+                num_slices=ssao_num_slices, num_steps=ssao_num_steps)
+            ao_full = fx_ssao.bilateral_blur(ao_full, d_g, info_.camera)
+            if s > 1:
+                from diligentfx_tpu.ops.sampling import upsample_bilinear
+                ao_full = upsample_bilinear(ao_full, s, s)[:height, :width]
+            ao = jax.lax.dynamic_slice(ao_full, (y0, 0), (band_h, width))
+            conv_depth = fx_ssao.convolved_depth(gb.depth, band=band)
+            sstate = (fx_ssao.SSAOState(history=st.ssao_history,
+                                        depth_history=st.ssao_depth_history)
+                      if st.ssao_history is not None else None)
+            ao, sres = fx_ssao.ssao_temporal(
+                ao, conv_depth, sstate, gb.motion,
+                disocclusion=disocclusion, band=band)
+            new_ssao, new_ssao_cd = sres.history, sres.depth_history
 
-        # ---- SSR (march-resolution inputs gathered across bands) ----------
+        # ---- SSR (shared compute on gathered full-res inputs) --------------
         spec = gb.ambient_specular
         new_ssr = st.ssr_radiance
         ssr_rad = None
@@ -285,27 +329,23 @@ def render_frame_banded(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
             refl_src = jnp.where(gb.hit[..., None],
                                  gb.direct + gb.ambient_diffuse
                                  + gb.ambient_specular, gb.background)
-            d = ssr_divisor
-            gath = lambda x: jax.lax.all_gather(x, axis_name, axis=0,
-                                                tiled=True)
-            color_g = gath(refl_src[::d, ::d])
-            depth_g = gath(gb.depth[::d, ::d])
-            normal_g = gath(gb.normal_view[::d, ::d])
-            rough_g = gath(gb.material_data[::d, ::d, 1:2])
             rad_full, ssr_state = fx_ssr.compute_ssr(
-                color_g, depth_g, normal_g, rough_g, info_.camera,
+                gath(refl_src), gath(gb.depth), gath(gb.normal_view),
+                gath(gb.material_data[..., 1:2]), info_.camera,
                 st.frame_index,
                 fx_ssr.SSRSettings(max_traversal_intersections=ssr_steps),
                 state=(fx_ssr.SSRState(radiance=st.ssr_radiance)
                        if st.ssr_radiance is not None else None),
-                motion=None, half_resolution=False, resolution_divisor=0)
+                motion=gath(gb.motion),
+                disocclusion=(gath(disocclusion)
+                              if disocclusion is not None else None),
+                half_resolution=False, resolution_divisor=ssr_divisor,
+                use_pallas=ssr_use_pallas)
             new_ssr = ssr_state.radiance
-            from diligentfx_tpu.ops.sampling import upsample_bilinear
-            rad_up = upsample_bilinear(rad_full, d, d)[:height, :width]
             ssr_rad = jax.lax.dynamic_slice(
-                rad_up, (y0, 0, 0), (band_h, width, 4))
+                rad_full, (y0, 0, 0), (band_h, width, 4))
 
-        # ---- composite -----------------------------------------------------
+        # ---- composite ------------------------------------------------------
         ao1 = ao[..., None]
         if ssr_rad is not None:
             conf = jnp.clip(ssr_rad[..., 3:4], 0.0, 1.0)
@@ -314,63 +354,75 @@ def render_frame_banded(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
         color = gb.direct + ao1 * gb.ambient_diffuse + ao1 * spec
         color = jnp.where(gb.hit[..., None], color, gb.background)
 
-        # ---- TAA (banded: halo'd moments, motion-clamped history) ----------
+        # ---- OIT (band-viewport K-layer raster, shared shading) ------------
+        if scene_.blend_indices is not None and oit_layer_count > 0:
+            from diligentfx_tpu.pbr import oit
+            wp, wn, _ = transform_vertices(scene_, info_.model_transform)
+            clip_b = m3.transform_points(wp, info_.camera.view_proj)
+            winv_b = jnp.where(jnp.abs(clip_b[:, 3]) > 1e-12,
+                               1.0 / clip_b[:, 3], 0.0)
+            blend_scene = scene_._replace(
+                tri_material=scene_.blend_tri_material,
+                indices=scene_.blend_indices)
+            blend_bc = scene_.materials.base_color_factor[
+                scene_.blend_tri_material]
+            kl = oit.rasterize_klayers(
+                clip_b, scene_.blend_indices, width=width, height=band_h,
+                cfg=cfg, num_layers=oit_layer_count,
+                tri_alpha=blend_bc[:, 3], tri_rgb=blend_bc[:, :3],
+                screen_size=(width, height), screen_offset=(0, y0))
+            lcol, lalpha, lalb = oit.shade_klayers(
+                blend_scene, info_, ibl_, kl, wp, wn, winv_b, use_ibl=use_ibl)
+            color = oit.composite_klayers(color, gb.depth, kl, lcol, lalpha,
+                                          layer_albedos=lalb)
+
+        # ---- TAA (shared accumulation with halo'd history warp) ------------
         new_taa_c, new_taa_n = st.taa_color, st.taa_count
         if enable_taa and st.taa_color is not None:
-            hist_c = jnp.where(first, color, st.taa_color)
-            hist_n = jnp.where(first, jnp.ones((band_h, width), jnp.float32),
-                               st.taa_count)
-            # history reprojection: band-local uv, motion clamped to ±halo
-            xg = (jax.lax.broadcasted_iota(jnp.float32, (band_h, width), 1)
-                  + 0.5) / width
-            ygl = (jax.lax.broadcasted_iota(jnp.float32, (band_h, width), 0)
-                   + 0.5) / band_h
-            m = gb.motion
-            my = jnp.clip(m[..., 1] * height, -(halo - 1.0), halo - 1.0)
-            prev_uv = jnp.stack(
-                [xg - m[..., 0], ygl - my / band_h], axis=-1)
-            packed = jnp.concatenate([hist_c, hist_n[..., None]], axis=-1)
-            packed_x = _edge_clamped_halo(packed, halo, axis_name)
-            # sample in extended-band coordinates
-            prev_uv_x = jnp.stack(
-                [prev_uv[..., 0],
-                 (prev_uv[..., 1] * band_h + halo) / (band_h + 2 * halo)],
-                axis=-1)
-            from diligentfx_tpu.ops.sampling import bilinear_sample
-            warped = bilinear_sample(packed_x, prev_uv_x)
-            hist = warped[..., :3]
-            hist_count = warped[..., 3]
-            cx = _edge_clamped_halo(color, 1, axis_name)
-            acc = jnp.zeros_like(color); acc2 = jnp.zeros_like(color)
-            for dy in (0, 1, 2):
-                for dx in (-1, 0, 1):
-                    sroll = jnp.roll(cx, dx, axis=1)[dy:dy + band_h]
-                    acc = acc + sroll
-                    acc2 = acc2 + sroll * sroll
-            mean = acc / 9.0
-            std = jnp.sqrt(jnp.maximum(acc2 / 9.0 - mean * mean, 0.0))
-            hist = jnp.clip(hist, mean - std, mean + std)
-            count = hist_count + 1.0
-            alpha = jnp.maximum(1.0 / count, 0.1)[..., None]
-            color = hist + (color - hist) * alpha
-            new_taa_c, new_taa_n = color, jnp.minimum(count, 64.0)
+            taa_state = fx_taa.TAAState(
+                color=jnp.where(first, color, st.taa_color),
+                sample_count=jnp.where(
+                    first, jnp.ones((band_h, width), jnp.float32),
+                    st.taa_count))
+            color, taa_res = fx_taa.taa_accumulate(
+                color, taa_state, resources,
+                feature_flags=taa_feature_flags,
+                disocclusion=disocclusion, band=band)
+            new_taa_c, new_taa_n = taa_res.color, taa_res.sample_count
+
+        # ---- DoF (gathered color/depth, shared implementation) -------------
+        new_dof = st.dof_coc
+        if enable_dof:
+            color_full = gath(color)
+            depth_full = gath(gb.depth)
+            dstate = (fx_dof.DoFState(coc_history=st.dof_coc)
+                      if st.dof_coc is not None else None)
+            dof_full, dres = fx_dof.apply_dof(
+                color_full, depth_full, info_.camera, state=dstate,
+                motion=gath(gb.motion), use_temporal=st.dof_coc is not None)
+            if st.dof_coc is not None:   # keep the state pytree shape fixed
+                new_dof = dres.coc_history
+            color = jax.lax.dynamic_slice(dof_full, (y0, 0, 0),
+                                          (band_h, width, 3))
 
         # ---- bloom (global mip pyramid via all_gather) ----------------------
         if enable_bloom:
-            color_full = jax.lax.all_gather(color, axis_name, axis=0,
-                                            tiled=True)
-            bloomed = fx_bloom.apply_bloom(color_full)
+            bloomed = fx_bloom.apply_bloom(gath(color))
             color = jax.lax.dynamic_slice(bloomed, (y0, 0, 0),
                                           (band_h, width, 3))
 
         if tone_mapping_mode is not None:
-            color = tone_map(color, tone_mapping_mode, ToneMappingAttribs())
+            color = tone_map(color, tone_mapping_mode, ToneMappingAttribs(),
+                             ave_log_lum=info_.renderer_params.average_log_lum)
+        if convert_output_to_srgb:
+            color = m3.linear_to_srgb(color)
 
         new_state = BandedFrameState(
             frame_index=st.frame_index + 1,
             prev_view_proj=info_.camera.view_proj,
             taa_color=new_taa_c, taa_count=new_taa_n,
-            ssao_history=new_ssao, ssr_radiance=new_ssr,
+            ssao_history=new_ssao, ssao_depth_history=new_ssao_cd,
+            ssr_radiance=new_ssr, dof_coc=new_dof,
             prev_depth=gb.depth)
         return color, new_state
 
@@ -380,7 +432,10 @@ def render_frame_banded(scene: ScenePrimitives, info: RenderInfo, ibl_maps,
         taa_color=band if state.taa_color is not None else None,
         taa_count=band if state.taa_count is not None else None,
         ssao_history=band if state.ssao_history is not None else None,
+        ssao_depth_history=(band if state.ssao_depth_history is not None
+                            else None),
         ssr_radiance=P() if state.ssr_radiance is not None else None,
+        dof_coc=P() if state.dof_coc is not None else None,
         prev_depth=band)
     fn = shard_map(
         band_fn, mesh=mesh,

@@ -45,7 +45,8 @@ class KLayerBuffer(NamedTuple):
 
 def _klayer_raster_tiles(setup, candidates, width, height,
                          cfg: RasterizerConfig, num_layers: int,
-                         tri_alpha=None, tri_rgb=None):
+                         tri_alpha=None, tri_rgb=None,
+                         screen_offset=(0, 0)):
     tiles_x = width // cfg.tile_w
     tiles_y = height // cfg.tile_h
     num_tiles = tiles_x * tiles_y
@@ -57,9 +58,12 @@ def _klayer_raster_tiles(setup, candidates, width, height,
     if pad:
         candidates = jnp.pad(candidates, ((0, 0), (0, pad)), constant_values=-1)
 
+    # integer viewport offset added before the float convert — band-sharded
+    # K-layer rasters are then bit-exact vs the monolithic frame (the same
+    # contract as ops/raster.py)
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_px0 = (tile_ids % tiles_x) * tw
-    tile_py0 = (tile_ids // tiles_x) * th
+    tile_px0 = (tile_ids % tiles_x) * tw + jnp.asarray(screen_offset[0], jnp.int32)
+    tile_py0 = (tile_ids // tiles_x) * th + jnp.asarray(screen_offset[1], jnp.int32)
     ly = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
     lx = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
     px = tile_px0[:, None, None].astype(jnp.float32) + lx[None]
@@ -201,7 +205,8 @@ def rasterize_klayers(clip: Array, indices: Array, *, width: int, height: int,
                       cfg: RasterizerConfig = RasterizerConfig(),
                       num_layers: int = 4,
                       tri_alpha: Optional[Array] = None,
-                      tri_rgb: Optional[Array] = None) -> KLayerBuffer:
+                      tri_rgb: Optional[Array] = None,
+                      screen_size=None, screen_offset=(0, 0)) -> KLayerBuffer:
     """Rasterize (transparent) triangles keeping the K nearest fragments per
     pixel (UpdateOITLayers analogue; transparent geometry is double-sided).
 
@@ -215,13 +220,15 @@ def rasterize_klayers(clip: Array, indices: Array, *, width: int, height: int,
         tri_alpha = jnp.ones((indices.shape[0],), jnp.float32)
     setup, valid, bbox, _ = rz._triangle_setup(
         clip, indices, width, height,
-        jnp.ones((indices.shape[0],), bool), True, 1e-3)
+        jnp.ones((indices.shape[0],), bool), True, 1e-3,
+        screen_size=screen_size, screen_offset=screen_offset)
     candidates, _compact, _counts, *_ = rz._bin_triangles(
         valid, bbox, width, height, cfg)
     ta2 = jnp.tile(tri_alpha, 2) if tri_alpha is not None else None
     tr2 = jnp.tile(tri_rgb, (2, 1)) if tri_rgb is not None else None
     return _klayer_raster_tiles(setup, candidates, width, height, cfg,
-                                num_layers, tri_alpha=ta2, tri_rgb=tr2)
+                                num_layers, tri_alpha=ta2, tri_rgb=tr2,
+                                screen_offset=screen_offset)
 
 
 def resolve_alpha_mask(vb, clip: Array, scene, winv: Array, *,
@@ -263,7 +270,8 @@ def resolve_alpha_mask(vb, clip: Array, scene, winv: Array, *,
         av = alpha_tab[mat]
         alpha = av[..., 0]
         if use_textures and atlas is not None and scene.tex_ids is not None:
-            from diligentfx_tpu.ops.texture import apply_uv_transform, sample_atlas
+            from diligentfx_tpu.ops.texture import (
+                apply_uv_transform, sample_material_texture)
             lvb = rzo.VisibilityBuffer(depth=klb.depth[k],
                                        tri_id=jnp.where(valid, gtid, -1),
                                        bary=klb.bary[k])
@@ -273,9 +281,10 @@ def resolve_alpha_mask(vb, clip: Array, scene, winv: Array, *,
             wraps = scene.tex_wraps[mat, 0]
             uv_t = apply_uv_transform(uv_px, xf[..., :4], xf[..., 4:6])
             # lod 0: the alpha test wants the crispest available cutout
-            tex = sample_atlas(atlas, jnp.maximum(s_tid, 0), uv_t,
-                               jnp.zeros_like(alpha),
-                               wrap_u=wraps[..., 0], wrap_v=wraps[..., 1])
+            tex = sample_material_texture(atlas, jnp.maximum(s_tid, 0), uv_t,
+                                          jnp.zeros_like(alpha),
+                                          wrap_u=wraps[..., 0],
+                                          wrap_v=wraps[..., 1])
             alpha = alpha * jnp.where(s_tid >= 0, tex[..., 3], 1.0)
         passed = valid & (alpha >= av[..., 1])
         # layers are depth-ascending, so the first pass wins

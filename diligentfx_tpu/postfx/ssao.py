@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from diligentfx_tpu.attribs import CameraAttribs
 from diligentfx_tpu.math3d import normalize
 from diligentfx_tpu.ops.sampling import bilinear_sample
-from diligentfx_tpu.postfx.context import (depth_to_camera_z,
+from diligentfx_tpu.postfx.context import (BandCtx, depth_to_camera_z,
                                            interleaved_gradient_noise)
 
 Array = jax.Array
@@ -312,59 +312,117 @@ def apply_ssao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                           num_slices, num_steps, use_pallas=use_pallas)
         ao = bilateral_blur(ao, depth, camera)
 
-    # convolved depth: current depth blurred to the AO filter footprint —
-    # the history-validation metric of the reference's denoiser
-    # (ScreenSpaceAmbientOcclusion.hpp:144-152 ConvolvedDepthHistory)
-    conv_depth = jnp.zeros_like(depth)
+    conv_depth = convolved_depth(depth)
+    ao, new_state = ssao_temporal(ao, conv_depth, state, motion, settings,
+                                  use_pallas=use_pallas,
+                                  disocclusion=disocclusion)
+    return ao, new_state
+
+
+def convolved_depth(depth: Array, band: Optional[BandCtx] = None) -> Array:
+    """Current depth blurred to the AO filter footprint — the
+    history-validation metric of the reference's denoiser
+    (ScreenSpaceAmbientOcclusion.hpp:144-152 ConvolvedDepthHistory).
+    With `band`, the 3×3 window rides one wrap-exchanged halo row so band
+    results equal the monolithic frame's `jnp.roll` windows exactly."""
+    h = depth.shape[0]
+    src = depth if band is None else band.extend(depth, 1, wrap=True)
+    conv = jnp.zeros_like(depth)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            conv_depth = conv_depth + jnp.roll(depth, (dy, dx), axis=(0, 1))
-    conv_depth = conv_depth / 9.0
+            s = jnp.roll(src, (dy, dx), axis=(0, 1))
+            conv = conv + (s if band is None else s[1:1 + h])
+    return conv / 9.0
 
-    if state is not None and motion is not None:
-        xg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
+
+def ssao_temporal(ao: Array, conv_depth: Array, state: Optional[SSAOState],
+                  motion: Optional[Array],
+                  settings: SSAOSettings = SSAOSettings(), *,
+                  use_pallas: bool = False,
+                  disocclusion: Optional[Array] = None,
+                  band: Optional[BandCtx] = None
+                  ) -> Tuple[Array, SSAOState]:
+    """Variance-guided temporal accumulation with convolved-depth-validated
+    resampled history (ScreenSpaceAmbientOcclusion.hpp:144-152) — shared by
+    the single-chip pipeline and the sp-banded pipeline (`band`): banded
+    history warps ride halo-exchanged rows with vertical motion clamped to
+    the halo, and moment windows ride a wrap halo, so there is ONE temporal
+    implementation (no banded fork)."""
+    if state is None or motion is None:
+        return ao, SSAOState(history=ao, depth_history=conv_depth)
+    h, w = ao.shape
+    xg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
+    if band is None:
         yg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
         prev_uv = jnp.stack([xg, yg], axis=-1) - motion
-        if use_pallas:
-            from diligentfx_tpu.ops.warp_pallas import warp_bilinear_pallas
-            off_px = -motion * jnp.array([w, h], jnp.float32)
-            hist = warp_bilinear_pallas(state.history, off_px,
-                                        halo_r=8, halo_c=64)
-            hist_cd = (warp_bilinear_pallas(state.depth_history, off_px,
-                                            halo_r=8, halo_c=64)
-                       if state.depth_history is not None else None)
+        hist_src = jnp.stack([state.history,
+                              (state.depth_history
+                               if state.depth_history is not None
+                               else jnp.zeros_like(state.history))], axis=-1)
+        samp_uv = prev_uv
+        off_px = -motion * jnp.array([w, h], jnp.float32)
+    else:
+        halo = band.halo
+        fh = band.full_h
+        y0f = jnp.asarray(band.y0, jnp.float32)
+        ygp = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + y0f + 0.5)
+        my = jnp.clip(motion[..., 1] * fh, -(halo - 1.0), halo - 1.0)
+        prev_uv = jnp.stack([xg - motion[..., 0], (ygp - my) / fh], axis=-1)
+        hist_src = band.extend(
+            jnp.stack([state.history,
+                       (state.depth_history
+                        if state.depth_history is not None
+                        else jnp.zeros_like(state.history))], axis=-1),
+            halo, wrap=False)
+        samp_uv = jnp.stack(
+            [prev_uv[..., 0], (ygp - my - y0f + halo) / (h + 2.0 * halo)],
+            axis=-1)
+        off_px = jnp.stack([-motion[..., 0] * w, -my], axis=-1)
+
+    if use_pallas:
+        from diligentfx_tpu.ops.warp_pallas import warp_bilinear_pallas
+        if band is None:
+            warped = warp_bilinear_pallas(hist_src, off_px, halo_r=8, halo_c=64)
         else:
-            hist = bilinear_sample(state.history[..., None], prev_uv)[..., 0]
-            hist_cd = (bilinear_sample(state.depth_history[..., None],
-                                       prev_uv)[..., 0]
-                       if state.depth_history is not None else None)
-        # variance-guided accumulation (the ReBLUR-style history constraint,
-        # ScreenSpaceAmbientOcclusion.hpp:147-150): clamp reprojected history
-        # to the current frame's 3×3 AO distribution
-        acc = jnp.zeros_like(ao)
-        acc2 = jnp.zeros_like(ao)
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                s = jnp.roll(ao, (dy, dx), axis=(0, 1))
-                acc = acc + s
-                acc2 = acc2 + s * s
-        mean = acc / 9.0
-        std = jnp.sqrt(jnp.maximum(acc2 / 9.0 - mean * mean, 0.0))
-        hist = jnp.clip(hist, mean - 2.0 * std, mean + 2.0 * std)
-        reject = ~((prev_uv[..., 0] >= 0) & (prev_uv[..., 0] <= 1)
-                   & (prev_uv[..., 1] >= 0) & (prev_uv[..., 1] <= 1))
-        if disocclusion is not None:
-            # "resampled history" semantics: a disoccluded pixel falls back
-            # to the current (already spatially-denoised) AO entirely
-            reject = reject | disocclusion
-        alpha = jnp.where(reject, 1.0, 1.0 - settings.temporal_stability_factor)
-        if hist_cd is not None:
-            # resampled-history validation: down-weight history whose
-            # reprojected convolved depth disagrees with the current one
-            # (geometry moved/revealed under this pixel) — the per-pixel
-            # complement of the global disocclusion mask
-            rel = jnp.abs(hist_cd - conv_depth) / jnp.maximum(conv_depth, 1e-4)
-            w_depth = jnp.exp(-rel * 16.0)
-            alpha = 1.0 - (1.0 - alpha) * w_depth
-        ao = hist + (ao - hist) * alpha
+            off_ext = jnp.pad(off_px, ((band.halo, band.halo), (0, 0), (0, 0)))
+            warped = warp_bilinear_pallas(hist_src, off_ext,
+                                          halo_r=8, halo_c=64)
+            warped = warped[band.halo:band.halo + h]
+    else:
+        warped = bilinear_sample(hist_src, samp_uv)
+    hist = warped[..., 0]
+    hist_cd = warped[..., 1] if state.depth_history is not None else None
+
+    # variance-guided accumulation (the ReBLUR-style history constraint,
+    # ScreenSpaceAmbientOcclusion.hpp:147-150): clamp reprojected history
+    # to the current frame's 3×3 AO distribution
+    src = ao if band is None else band.extend(ao, 1, wrap=True)
+    acc = jnp.zeros_like(ao)
+    acc2 = jnp.zeros_like(ao)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s = jnp.roll(src, (dy, dx), axis=(0, 1))
+            if band is not None:
+                s = s[1:1 + h]
+            acc = acc + s
+            acc2 = acc2 + s * s
+    mean = acc / 9.0
+    std = jnp.sqrt(jnp.maximum(acc2 / 9.0 - mean * mean, 0.0))
+    hist = jnp.clip(hist, mean - 2.0 * std, mean + 2.0 * std)
+    reject = ~((prev_uv[..., 0] >= 0) & (prev_uv[..., 0] <= 1)
+               & (prev_uv[..., 1] >= 0) & (prev_uv[..., 1] <= 1))
+    if disocclusion is not None:
+        # "resampled history" semantics: a disoccluded pixel falls back
+        # to the current (already spatially-denoised) AO entirely
+        reject = reject | disocclusion
+    alpha = jnp.where(reject, 1.0, 1.0 - settings.temporal_stability_factor)
+    if hist_cd is not None:
+        # resampled-history validation: down-weight history whose
+        # reprojected convolved depth disagrees with the current one
+        # (geometry moved/revealed under this pixel) — the per-pixel
+        # complement of the global disocclusion mask
+        rel = jnp.abs(hist_cd - conv_depth) / jnp.maximum(conv_depth, 1e-4)
+        w_depth = jnp.exp(-rel * 16.0)
+        alpha = 1.0 - (1.0 - alpha) * w_depth
+    ao = hist + (ao - hist) * alpha
     return ao, SSAOState(history=ao, depth_history=conv_depth)

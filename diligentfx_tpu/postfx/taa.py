@@ -14,7 +14,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from diligentfx_tpu.postfx.context import PostFXResources
+from diligentfx_tpu.postfx.context import BandCtx, PostFXResources
 
 Array = jax.Array
 
@@ -56,17 +56,24 @@ def ycocg_to_rgb(c: Array) -> Array:
     return jnp.stack([y + co - cg, y + cg, y - co - cg], axis=-1)
 
 
-def _neighborhood_moments(color: Array, gaussian: bool = True):
-    """3×3 mean/variance via shifts (no gathers)."""
+def _neighborhood_moments(color: Array, gaussian: bool = True,
+                          band: Optional[BandCtx] = None):
+    """3×3 mean/variance via shifts (no gathers).  With `band`, the window
+    rides one wrap-exchanged halo row so band results equal the monolithic
+    frame's `jnp.roll` windows exactly."""
     if gaussian:
         w = jnp.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], jnp.float32) / 16.0
     else:
         w = jnp.ones((3, 3), jnp.float32) / 9.0
+    h = color.shape[0]
+    src_c = color if band is None else band.extend(color, 1, wrap=True)
     m1 = jnp.zeros_like(color)
     m2 = jnp.zeros_like(color)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            c = jnp.roll(color, (-dy, -dx), axis=(0, 1))
+            c = jnp.roll(src_c, (-dy, -dx), axis=(0, 1))
+            if band is not None:
+                c = c[1:1 + h]
             ww = w[dy + 1, dx + 1]
             m1 = m1 + c * ww
             m2 = m2 + c * c * ww
@@ -125,36 +132,67 @@ def taa_accumulate(color: Array, state: Optional[TAAState],
                                          | TAAFeatureFlags.YCOCG_COLOR_SPACE
                                          | TAAFeatureFlags.GAUSSIAN_WEIGHTING),
                    disocclusion: Optional[Array] = None,
+                   band: Optional[BandCtx] = None,
                    ) -> Tuple[Array, TAAState]:
     """One temporal accumulation step.  Returns (antialiased, new_state).
 
     disocclusion: optional (H, W) bool from context.disocclusion_mask —
     history sample-count resets where the prev-frame depth disagrees with
-    the reprojected surface (beyond the variance clamp's soft rejection)."""
+    the reprojected surface (beyond the variance clamp's soft rejection).
+
+    band: run on an sp-band (parallel/tiling.py).  The history warp rides
+    halo-exchanged rows with vertical motion clamped to halo-3 px (room for
+    the Catmull-Rom ±2 footprint); the moment window rides a wrap halo.
+    The SAME accumulation code runs either way — no banded fork."""
     h, w = color.shape[:2]
     if state is None:
         return color, TAAState(color=color, sample_count=jnp.ones((h, w), jnp.float32))
 
     x = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
-    y = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
-    prev_uv = jnp.stack([x, y], axis=-1) - resources.closest_motion
+    if band is None:
+        y = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h
+        prev_uv = jnp.stack([x, y], axis=-1) - resources.closest_motion
+        hist_src = jnp.concatenate([state.color,
+                                    state.sample_count[..., None]], axis=-1)
+        samp_uv = prev_uv
+        off_px = -resources.closest_motion * jnp.array([w, h], jnp.float32)
+    else:
+        halo = band.halo
+        fh = band.full_h
+        y0f = jnp.asarray(band.y0, jnp.float32)
+        yg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + y0f + 0.5)
+        m = resources.closest_motion
+        my = jnp.clip(m[..., 1] * fh, -(halo - 3.0), halo - 3.0)
+        prev_uv = jnp.stack([x - m[..., 0], (yg - my) / fh], axis=-1)
+        hist_src = band.extend(
+            jnp.concatenate([state.color, state.sample_count[..., None]], -1),
+            halo, wrap=False)
+        # band-local uv into the extended array; the integer row shift
+        # (y0 - halo) preserves every filter's fractional weights
+        samp_uv = jnp.stack(
+            [prev_uv[..., 0], (yg - my - y0f + halo) / (h + 2.0 * halo)],
+            axis=-1)
+        off_px = jnp.stack([-m[..., 0] * w, -my], axis=-1)
 
     if feature_flags & TAAFeatureFlags.PALLAS_WARP:
         from diligentfx_tpu.ops.warp_pallas import warp_bilinear_pallas
-        off_px = -resources.closest_motion * jnp.array([w, h], jnp.float32)
-        packed = jnp.concatenate([state.color,
-                                  state.sample_count[..., None]], axis=-1)
-        warped = warp_bilinear_pallas(packed, off_px, halo_r=8, halo_c=64)
+        if band is None:
+            warped = warp_bilinear_pallas(hist_src, off_px, halo_r=8, halo_c=64)
+        else:
+            off_ext = jnp.pad(off_px, ((band.halo, band.halo), (0, 0), (0, 0)))
+            warped = warp_bilinear_pallas(hist_src, off_ext,
+                                          halo_r=8, halo_c=64)
+            warped = warped[band.halo:band.halo + h]
         hist = warped[..., :3]
         hist_count = warped[..., 3]
     elif feature_flags & TAAFeatureFlags.BICUBIC_FILTER:
-        hist = _sample_history_catmull_rom(state.color, prev_uv)
-        hist_count = _sample_history_bilinear(state.sample_count[..., None],
-                                              prev_uv)[..., 0]
+        hist = _sample_history_catmull_rom(hist_src[..., :3], samp_uv)
+        hist_count = _sample_history_bilinear(hist_src[..., 3:4],
+                                              samp_uv)[..., 0]
     else:
-        hist = _sample_history_bilinear(state.color, prev_uv)
-        hist_count = _sample_history_bilinear(state.sample_count[..., None],
-                                              prev_uv)[..., 0]
+        hist = _sample_history_bilinear(hist_src[..., :3], samp_uv)
+        hist_count = _sample_history_bilinear(hist_src[..., 3:4],
+                                              samp_uv)[..., 0]
 
     in_bounds = ((prev_uv[..., 0] >= 0.0) & (prev_uv[..., 0] <= 1.0)
                  & (prev_uv[..., 1] >= 0.0) & (prev_uv[..., 1] <= 1.0))
@@ -166,7 +204,8 @@ def taa_accumulate(color: Array, state: Optional[TAAState],
     hist_cs = rgb_to_ycocg(jnp.maximum(hist, 0.0)) if use_ycocg else hist
 
     mean, std = _neighborhood_moments(
-        cur_cs, gaussian=bool(feature_flags & TAAFeatureFlags.GAUSSIAN_WEIGHTING))
+        cur_cs, gaussian=bool(feature_flags & TAAFeatureFlags.GAUSSIAN_WEIGHTING),
+        band=band)
     lo = mean - settings.variance_gamma * std
     hi = mean + settings.variance_gamma * std
     clipped = jnp.clip(hist_cs, lo, hi)
