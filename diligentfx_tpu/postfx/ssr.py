@@ -324,14 +324,56 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
     conf = hit[..., None].astype(jnp.float32) * edge * rough_fade
     radiance = jnp.concatenate([refl * conf, conf], axis=-1)
 
-    # spatial reconstruction: small cross-bilateral average for rough pixels
+    # spatial reconstruction: BRDF-PDF-weighted neighborhood ray reuse
+    # (SSR_ComputeSpatialReconstruction.fx semantics: each neighbor's ray is
+    # re-weighted by THIS pixel's BRDF response to that ray over the
+    # neighbor's sampling pdf — importance resampling of the stochastic
+    # VNDF rays; ScreenSpaceReflection.hpp:145-154).  Replaces the round-3
+    # unweighted 5-tap cross: edges stay sharp where BRDF lobes disagree,
+    # rough lobes denoise across all 8 neighbors.
     if enable_spatial:
-        rad_blur = radiance
-        for dxy in ((0, 1), (0, -1), (1, 0), (-1, 0)):
-            rad_blur = rad_blur + jnp.roll(radiance, dxy, axis=(0, 1))
-        rad_blur = rad_blur / 5.0
+        a_c = alpha[..., 0]
+        ndotv_c = jnp.maximum(jnp.sum(n * v, axis=-1), 1e-4)
+
+        def g1(ndx, a2):
+            return 2.0 * ndx / jnp.maximum(
+                ndx + jnp.sqrt(a2 + (1.0 - a2) * ndx * ndx), 1e-6)
+
+        def ggx_d(ndoth, a2):
+            f = ndoth * ndoth * (a2 - 1.0) + 1.0
+            return a2 / jnp.maximum(3.14159265 * f * f, 1e-8)
+
+        # neighbor VNDF pdf (computed once, rolled with the ray):
+        # pdf(r) = G1(v) * D(h) / (4 (n·v))
+        ndoth_s = jnp.maximum(jnp.sum(n * normalize(h_vs), axis=-1), 0.0)
+        a2_s = a_c * a_c
+        pdf_s = (g1(ndotv_c, a2_s) * ggx_d(ndoth_s, a2_s)
+                 / jnp.maximum(4.0 * ndotv_c, 1e-4))
+
+        acc = radiance                      # center: weight 1 (w_c/pdf_c ≈ 1)
+        wsum = jnp.ones_like(rough_r[..., 0])
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                r_j = jnp.roll(r_dir, (dy, dx), axis=(0, 1))
+                pdf_j = jnp.roll(pdf_s, (dy, dx), axis=(0, 1))
+                rad_j = jnp.roll(radiance, (dy, dx), axis=(0, 1))
+                # THIS pixel's BRDF response to the neighbor's ray
+                h_t = normalize(v + r_j)
+                ndoth_t = jnp.maximum(jnp.sum(n * h_t, axis=-1), 0.0)
+                ndotl_t = jnp.maximum(jnp.sum(n * r_j, axis=-1), 0.0)
+                a2_c = a_c * a_c
+                w_j = (ggx_d(ndoth_t, a2_c) * g1(ndotv_c, a2_c) * ndotl_t
+                       / jnp.maximum(4.0 * ndotv_c * pdf_j, 1e-4))
+                w_j = jnp.minimum(w_j, 4.0)  # clamp fireflies from tiny pdfs
+                acc = acc + rad_j * w_j[..., None]
+                wsum = wsum + w_j
+        recon = acc / wsum[..., None]
+        # mirror-like pixels keep their own ray; rough lobes take the
+        # reconstruction (the reference scales its kernel by roughness too)
         blur_amt = saturate(rough_r * 4.0)
-        radiance = radiance + (rad_blur - radiance) * blur_amt
+        radiance = radiance + (recon - radiance) * blur_amt
 
     # temporal accumulation at the PROCESSING resolution — the history
     # buffer and its reprojection gathers live on the (h, w) grid, which
