@@ -47,6 +47,18 @@ class EpipolarSettings(NamedTuple):
     num_epipolar_slices: int = 512        # static (structures fxh:101)
     max_samples_in_slice: int = 256       # static (structures fxh:104)
     num_ray_march_steps: int = 32         # static fixed budget
+    # sample refinement (RefineSampleLocations / interpolation-source search,
+    # EpipolarLightScattering.cpp:2393-2700): > 1 marches only every
+    # `refinement_factor`-th sample plus a fixed budget of depth-break
+    # samples (compacted, see _apply_impl); smooth spans interpolate along
+    # the slice.  1 = march every sample (round-3 behavior).
+    refinement_factor: int = 1            # static
+    refinement_budget_div: int = 8        # static: budget = S*N // div
+    # 1D min/max shadow tree (Build1DMinMaxMipMap analogue): the shadowed
+    # march tests spans of the per-slice shadow line instead of PCF-sampling
+    # the cascade maps per step — 1 packed gather/step instead of 4
+    use_minmax_tree: bool = False         # static
+    minmax_tree_res: int = 512            # static: base cells per slice line
     mie_g: Array = jnp.float32(0.76)
     sun_intensity: Array = jnp.float32(20.0)
     scene_scale: Array = jnp.float32(1.0)  # world units → meters
@@ -198,7 +210,7 @@ def phase_mie(c, g):
 
 
 def _inscatter_march(lut, origins, directions, lengths, sun_dir, s: EpipolarSettings,
-                     shadow_fn=None, ms_lut=None):
+                     shadow_fn=None, ms_lut=None, jitter=None):
     """Single-scattering inscatter + transmittance along rays, plus the
     isotropic multiple-scattering ambient term when `ms_lut` is given
     (precompute_multiple_scattering_lut).
@@ -216,12 +228,13 @@ def _inscatter_march(lut, origins, directions, lengths, sun_dir, s: EpipolarSett
 
     # per-ray start jitter (golden-ratio hash over the epipolar grid) breaks
     # the concentric step-banding a fixed-step march otherwise produces
-    if lengths.ndim == 2:
-        ji = jax.lax.broadcasted_iota(jnp.float32, lengths.shape, 0)
-        jj = jax.lax.broadcasted_iota(jnp.float32, lengths.shape, 1)
-        jitter = jnp.mod(0.618034 * ji + 0.3247179 * jj, 1.0)
-    else:
-        jitter = jnp.zeros_like(lengths)
+    if jitter is None:
+        if lengths.ndim == 2:
+            ji = jax.lax.broadcasted_iota(jnp.float32, lengths.shape, 0)
+            jj = jax.lax.broadcasted_iota(jnp.float32, lengths.shape, 1)
+            jitter = jnp.mod(0.618034 * ji + 0.3247179 * jj, 1.0)
+        else:
+            jitter = jnp.zeros_like(lengths)
 
     def body(i, carry):
         inscatter, tau_r, tau_m = carry
@@ -305,6 +318,129 @@ def _epipolar_grid(light_uv: Array, num_slices: int, num_samples: int):
     return grid, ends
 
 
+class ShadowLineTree(NamedTuple):
+    """1D min/max shadow binary tree per (cascade, slice) — the analogue of
+    the reference's Build1DMinMaxMipMap (EpipolarLightScattering.hpp:174,
+    RenderSliceUVDirAndOrigin + the min/max mip chain): every camera ray of
+    an epipolar slice lies in the plane spanned by the sun direction and the
+    slice, so all its shadow-map lookups fall on ONE line per cascade map.
+    Sampling that line once (point taps) and min/max-reducing it into a mip
+    chain lets the march test a whole span with one packed gather: span max
+    below the ray depth → fully shadowed, span min above → fully lit, mixed
+    spans estimate the lit fraction from the min/max interval (the fixed-
+    budget SPMD reading of the reference's tree traversal)."""
+    packed: Array      # (C*S*R_tot, 2) level-major flat (min, max) depths
+    lv_xy0: Array      # (2,) light-view xy of the camera position
+    u_dir: Array       # (S, 2) unit light-view-xy direction of each slice
+    u_min: Array       # (S,) sampled u range start (light-view units)
+    u_rng: Array       # (S,) sampled u range extent (>= eps)
+    base_r: int
+    levels: int
+
+
+def build_shadow_line_tree(att, shadow_maps, camera, world_ends,
+                           num_slices: int, base_r: int = 512,
+                           levels: int = 4) -> ShadowLineTree:
+    """Sample each slice's shadow line per cascade + build min/max mips.
+
+    world_ends: (S, N, 3) the epipolar sample world positions (ray endpoints)
+    — their light-view projections bound the u range each slice's march can
+    touch.  Gathers: C*S*base_r point taps, once per frame."""
+    wl = att.world_to_light_view
+    c = shadow_maps.shape[0]
+    s_res = shadow_maps.shape[-1]
+
+    lv0 = m3.transform_points(camera.position, wl)[:3]
+    lv_ends = m3.transform_points(world_ends, wl)[..., :3]      # (S, N, 3)
+    d_xy = lv_ends[..., :2] - lv0[:2]                            # (S, N, 2)
+    # slice direction in light-view xy: the largest-|u| endpoint is the most
+    # robust representative (all endpoints of a slice are collinear here)
+    norms = jnp.sqrt(jnp.sum(d_xy * d_xy, -1))
+    pick = jnp.argmax(norms, axis=1)
+    rep = jnp.take_along_axis(d_xy, pick[:, None, None], axis=1)[:, 0]
+    u_dir = rep / jnp.maximum(
+        jnp.sqrt(jnp.sum(rep * rep, -1, keepdims=True)), 1e-9)  # (S, 2)
+    u = jnp.sum(d_xy * u_dir[:, None, :], axis=-1)               # (S, N)
+    u_min = jnp.minimum(u.min(axis=1), 0.0)
+    u_max = jnp.maximum(u.max(axis=1), 0.0)
+    u_rng = jnp.maximum(u_max - u_min, 1e-6)
+
+    # sample every cascade map along every slice line at base_r points
+    j = (jnp.arange(base_r, dtype=jnp.float32) + 0.5) / base_r   # (R,)
+    u_j = u_min[:, None] + u_rng[:, None] * j[None, :]           # (S, R)
+    line_xy = (lv0[:2] + u_dir[:, None, :] * u_j[..., None])     # (S, R, 2)
+    scale = att.light_space_scale                                # (C, 3)
+    bias = att.light_space_bias
+    p_xy = (line_xy[None] * scale[:, None, None, :2]
+            + bias[:, None, None, :2])                           # (C, S, R, 2)
+    uv_x = p_xy[..., 0] * 0.5 + 0.5
+    uv_y = 0.5 - p_xy[..., 1] * 0.5
+    xi = jnp.clip((uv_x * s_res).astype(jnp.int32), 0, s_res - 1)
+    yi = jnp.clip((uv_y * s_res).astype(jnp.int32), 0, s_res - 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, xi.shape, 0)
+    base = shadow_maps.reshape(-1)[ci * (s_res * s_res)
+                                   + yi * s_res + xi]            # (C, S, R)
+
+    mn, mx = base, base
+    packs = [jnp.stack([mn, mx], axis=-1)]
+    for _ in range(levels - 1):
+        mn = jnp.minimum(mn[..., 0::2], mn[..., 1::2])
+        mx = jnp.maximum(mx[..., 0::2], mx[..., 1::2])
+        packs.append(jnp.stack([mn, mx], axis=-1))
+    # level-major flat: level k holds C*S*(R>>k) rows
+    packed = jnp.concatenate(
+        [p.reshape(-1, 2) for p in packs], axis=0)
+    return ShadowLineTree(packed=packed, lv_xy0=lv0[:2], u_dir=u_dir,
+                          u_min=u_min, u_rng=u_rng, base_r=base_r,
+                          levels=levels)
+
+
+def make_tree_shadow_fn(tree: ShadowLineTree, att, camera, slice_ids,
+                        du_cells):
+    """Visibility function for _inscatter_march backed by the 1D min/max
+    tree.  slice_ids: int32 array broadcastable to the ray shape; du_cells:
+    per-ray span (in base cells) one march step covers — selects the tree
+    level whose cell bounds the step."""
+    from diligentfx_tpu.components.shadow_map_manager import find_cascade
+    wl = att.world_to_light_view
+    c = att.light_space_scale.shape[0]
+    s_cnt = tree.u_dir.shape[0]
+    lvl_f = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(du_cells, 1.0))),
+                     0, tree.levels - 1).astype(jnp.int32)
+
+    # static level offsets into the flat packed table
+    offs, acc = [], 0
+    for k in range(tree.levels):
+        offs.append(acc)
+        acc += c * s_cnt * (tree.base_r >> k)
+
+    def fn(p):
+        lv = m3.transform_points(p, wl)[..., :3]
+        cam_z = -m3.transform_points(p, camera.view)[..., 2]
+        info = find_cascade(att, lv, cam_z)
+        u = jnp.sum((lv[..., :2] - tree.lv_xy0) * tree.u_dir[slice_ids],
+                    axis=-1)
+        cell_f = (u - tree.u_min[slice_ids]) / tree.u_rng[slice_ids]
+        lvl = jnp.broadcast_to(lvl_f, cell_f.shape)
+        off = jnp.zeros_like(info.cascade_idx)
+        r_l = jnp.zeros_like(info.cascade_idx)
+        for k in range(tree.levels):   # short static select chain
+            off = jnp.where(lvl == k, offs[k], off)
+            r_l = jnp.where(lvl == k, tree.base_r >> k, r_l)
+        cell = jnp.clip((cell_f * r_l.astype(jnp.float32)).astype(jnp.int32),
+                        0, r_l - 1)
+        flat = off + (info.cascade_idx * s_cnt + slice_ids) * r_l + cell
+        g = tree.packed[flat]                                   # (..., 2)
+        zr = info.depth[..., 0] - 1e-3
+        mn, mx = g[..., 0], g[..., 1]
+        vis = jnp.where(zr <= mn, 1.0,
+                        jnp.where(zr > mx, 0.0,
+                                  (mx - zr) / jnp.maximum(mx - mn, 1e-5)))
+        return jnp.where(info.in_any, vis, 1.0)
+
+    return fn
+
+
 class EpipolarOutput(NamedTuple):
     color: Array          # (H, W, 3) scene with inscattering applied
     inscatter: Array      # (H, W, 3)
@@ -314,13 +450,18 @@ class EpipolarOutput(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("settings_static",))
 def _apply_impl(color, depth, camera, sun_dir, sun_intensity_rgb, lut,
                 settings, shadow_data, ms_lut=None, *, settings_static):
-    num_slices, num_samples, _steps = settings_static
+    (num_slices, num_samples, _steps, refine_m, refine_div, use_tree,
+     tree_res) = settings_static
     h, w = depth.shape
     # rebind the structural ints as Python values (they arrive traced in the
     # settings pytree; loop/grid sizes must be static)
     s = settings._replace(num_epipolar_slices=num_slices,
                           max_samples_in_slice=num_samples,
-                          num_ray_march_steps=_steps)
+                          num_ray_march_steps=_steps,
+                          refinement_factor=refine_m,
+                          refinement_budget_div=refine_div,
+                          use_minmax_tree=use_tree,
+                          minmax_tree_res=tree_res)
 
     # light projection to uv space
     sun_clip = m3.transform_points(camera.position - sun_dir * 1e4,
@@ -344,22 +485,108 @@ def _apply_impl(color, depth, camera, sun_dir, sun_intensity_rgb, lut,
     lengths = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-8))
     dirs = delta / lengths[..., None]
 
-    shadow_fn = None
+    tree = None
+    make_shadow_fn = lambda slice_ids, du_cells: None
     if shadow_data is not None:
         att, smaps = shadow_data
+        if use_tree:
+            tree = build_shadow_line_tree(att, smaps, camera, world,
+                                          num_slices, base_r=tree_res)
 
-        def shadow_fn(p):  # noqa: F811
-            from diligentfx_tpu.components.shadow_map_manager import (
-                CascadeSamplingInfo, find_cascade, filter_shadow_pcf)
-            plv = m3.transform_points(p, att.world_to_light_view)[..., :3]
-            cam_z = -m3.transform_points(p, camera.view)[..., 2]
-            info = find_cascade(att, plv, cam_z)
-            lit = filter_shadow_pcf(smaps, info, 2, depth_bias=1e-3)
-            return jnp.where(info.in_any, lit, 1.0)
+            def make_shadow_fn(slice_ids, du_cells):   # noqa: F811
+                return make_tree_shadow_fn(tree, att, camera, slice_ids,
+                                           du_cells)
+        else:
+            def pcf_fn(p):
+                from diligentfx_tpu.components.shadow_map_manager import (
+                    find_cascade, filter_shadow_pcf)
+                plv = m3.transform_points(p, att.world_to_light_view)[..., :3]
+                cam_z = -m3.transform_points(p, camera.view)[..., 2]
+                info = find_cascade(att, plv, cam_z)
+                lit = filter_shadow_pcf(smaps, info, 2, depth_bias=1e-3)
+                return jnp.where(info.in_any, lit, 1.0)
 
-    inscatter_e, trans_e = _inscatter_march(lut, origins, dirs, lengths,
-                                            sun_dir, s, shadow_fn,
-                                            ms_lut=ms_lut)
+            def make_shadow_fn(slice_ids, du_cells):   # noqa: F811
+                return pcf_fn
+
+    def du_cells_of(lengths_, dirs_, slice_ids):
+        """Per-ray march-step span in tree base cells (level selector)."""
+        if tree is None:
+            return jnp.zeros_like(lengths_)
+        d_xy = m3.transform_directions(
+            dirs_, shadow_data[0].world_to_light_view)[..., :2]
+        du = jnp.abs(jnp.sum(d_xy * tree.u_dir[slice_ids], axis=-1))
+        return (lengths_ / _steps) * du / (tree.u_rng[slice_ids]
+                                           / tree.base_r)
+
+    if refine_m <= 1:
+        sl_ids = jax.lax.broadcasted_iota(jnp.int32, lengths.shape, 0)
+        inscatter_e, trans_e = _inscatter_march(
+            lut, origins, dirs, lengths, sun_dir, s,
+            make_shadow_fn(sl_ids, du_cells_of(lengths, dirs, sl_ids)),
+            ms_lut=ms_lut)
+    else:
+        # ---- sample refinement + interpolation-source search ---------------
+        # (RefineSampleLocations / the interpolation-source pass,
+        # EpipolarLightScattering.cpp:2393-2700, recast as fixed-budget SPMD:
+        # march every refine_m-th sample; detect depth breaks along each
+        # slice; samples whose interpolation sources straddle a break are
+        # COMPACTED into a fixed refinement buffer (the pair-compaction
+        # trick) and marched exactly; everything else interpolates.)
+        m_f = refine_m
+        n_c = num_samples // m_f
+        cap = max((num_slices * num_samples) // refine_div, 128)
+        ic = jnp.arange(n_c) * m_f                               # coarse ids
+        sl_c = jax.lax.broadcasted_iota(jnp.int32, (num_slices, n_c), 0)
+        oc, dc, lc = origins[:, ic], dirs[:, ic], lengths[:, ic]
+        ins_c, tr_c = _inscatter_march(
+            lut, oc, dc, lc, sun_dir, s,
+            make_shadow_fn(sl_c, du_cells_of(lc, dc, sl_c)), ms_lut=ms_lut)
+
+        # depth breaks between adjacent epipolar samples (linear view z)
+        z_lin = depth_to_camera_z(d_smp, camera)                 # (S, N)
+        brk = (jnp.abs(z_lin[:, 1:] - z_lin[:, :-1])
+               > 0.1 * jnp.minimum(z_lin[:, 1:], z_lin[:, :-1]))  # (S, N-1)
+        cum = jnp.concatenate(
+            [jnp.zeros((num_slices, 1), jnp.int32),
+             jnp.cumsum(brk.astype(jnp.int32), axis=1)], axis=1)  # (S, N)
+        i_all = jnp.arange(num_samples)
+        left = (i_all // m_f) * m_f
+        right = jnp.minimum(left + m_f, num_samples - 1)
+        # breaks strictly inside (left, right]: cum[right] - cum[left]
+        span_brk = cum[:, right] - cum[:, left]                  # (S, N)
+        is_coarse = (i_all % m_f == 0)[None, :]
+        refined = (~is_coarse) & (span_brk > 0)
+
+        # interpolate along the slice from the coarse sources
+        li = left // m_f
+        ri = jnp.minimum(li + 1, n_c - 1)
+        f = ((i_all - left) / m_f)[None, :, None]
+        ins_i = ins_c[:, li] * (1.0 - f) + ins_c[:, ri] * f
+        tr_i = tr_c[:, li] * (1.0 - f) + tr_c[:, ri] * f
+
+        # compact refined sample ids into the fixed budget
+        flat_mask = refined.reshape(-1)
+        pos = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+        flat_ids = jnp.arange(num_slices * num_samples, dtype=jnp.int32)
+        buf = jnp.full((cap,), -1, jnp.int32)
+        buf = buf.at[jnp.where(flat_mask & (pos < cap), pos, cap)].set(
+            flat_ids, mode="drop")
+        r_s = jnp.maximum(buf, 0) // num_samples                 # (cap,)
+        r_i = jnp.maximum(buf, 0) % num_samples
+        orr, drr, lrr = origins[r_s, r_i], dirs[r_s, r_i], lengths[r_s, r_i]
+        jit_r = jnp.mod(0.618034 * r_s.astype(jnp.float32)
+                        + 0.3247179 * r_i.astype(jnp.float32), 1.0)
+        ins_r, tr_r = _inscatter_march(
+            lut, orr, drr, lrr, sun_dir, s,
+            make_shadow_fn(r_s, du_cells_of(lrr, drr, r_s)),
+            ms_lut=ms_lut, jitter=jit_r)
+        # scatter the exact marches over the interpolation (invalid slots
+        # target an out-of-range row and drop)
+        tgt_s = jnp.where(buf >= 0, r_s, num_slices)
+        ins_e = ins_i.at[tgt_s, r_i].set(ins_r, mode="drop")
+        tr_e = tr_i.at[tgt_s, r_i].set(tr_r, mode="drop")
+        inscatter_e, trans_e = ins_e, tr_e
 
     # ---- unwarp epipolar → screen (depth-break-aware bilinear) -------------
     xg = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w
@@ -436,7 +663,9 @@ def apply_light_scattering(color: Array, depth: Array, camera: CameraAttribs,
     EpipolarLightScattering.cpp:2099-2789)."""
     sun_dir = m3.normalize(jnp.asarray(sun_dir, jnp.float32))
     static = (settings.num_epipolar_slices, settings.max_samples_in_slice,
-              settings.num_ray_march_steps)
+              settings.num_ray_march_steps, settings.refinement_factor,
+              settings.refinement_budget_div, settings.use_minmax_tree,
+              settings.minmax_tree_res)
     return _apply_impl(color, depth, camera, sun_dir,
                        jnp.asarray(sun_intensity_rgb, jnp.float32), lut,
                        settings, shadow_data, ms_lut,
