@@ -31,7 +31,7 @@ NUM_SLOTS = 5
 
 class RenderScene(NamedTuple):
     scene: object               # pbr.renderer.ScenePrimitives
-    atlas: TextureAtlas
+    atlas: object               # TextureAtlas | TextureHeap (binding mode)
     lights: Optional[PBRLightAttribs]
     mesh_node_ids: tuple = ()   # model node index per scene node slot
 
@@ -72,13 +72,25 @@ def update_animation(rs: RenderScene, model: GLTFModel, player, t: float,
 
 
 def build_render_scene(model: GLTFModel, atlas_size: int = 1024,
-                       extra_lights: Optional[PBRLightAttribs] = None) -> RenderScene:
+                       extra_lights: Optional[PBRLightAttribs] = None,
+                       texture_binding_mode: str = "atlas") -> RenderScene:
     """Flatten the default scene's node hierarchy into one ScenePrimitives +
-    a packed texture atlas."""
+    a packed texture container.
+
+    texture_binding_mode selects the SHADER_TEXTURE_ARRAY_MODE analogue
+    (PBR_Renderer.hpp:100-119): "atlas" packs every texture into fixed-size
+    layers (GLTF::ResourceManager suballocation — cheapest sampling, caps
+    resolution at atlas_size); "array" keeps native resolutions in a texture
+    heap (the DYNAMIC per-material slice mode — no repacking, exact wrap)."""
     import jax.numpy as jnp
     from diligentfx_tpu.pbr.renderer import ScenePrimitives
 
-    builder = AtlasBuilder(size=atlas_size)
+    if texture_binding_mode == "array":
+        from diligentfx_tpu.ops.texture import TextureHeapBuilder
+        builder = TextureHeapBuilder()
+    else:
+        assert texture_binding_mode == "atlas", texture_binding_mode
+        builder = AtlasBuilder(size=atlas_size)
     image_to_tex = {}
 
     def atlas_id(ref: Optional[GLTFTextureRef], srgb: bool) -> int:

@@ -296,14 +296,18 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     if use_textures and atlas is not None:
         # material texture fetch indirection (PBR_Textures.fxh analogue):
         # every slot samples unconditionally (uniform SPMD work); unbound
-        # slots resolve to neutral values via the -1 mask.
-        from diligentfx_tpu.ops.texture import apply_uv_transform, sample_atlas
+        # slots resolve to neutral values via the -1 mask.  `atlas` may be
+        # either binding mode (TextureAtlas or TextureHeap — the
+        # SHADER_TEXTURE_ARRAY_MODE_DYNAMIC analogue); the dispatcher picks
+        # the sampling path by container type.
+        from diligentfx_tpu.ops.texture import (apply_uv_transform,
+                                                sample_material_texture,
+                                                texture_base_size)
         from diligentfx_tpu.ops.raster import bary_setup_from_clip
         if duv_dx is None:
             setup_b = bary_setup_from_clip(clip, scene.indices, pad_w, pad_h)
             _, duv_dx, duv_dy = rz.interpolate_with_derivs(
                 vb, scene.indices, scene.uvs, setup_b, winv)
-        atlas_res = atlas.mips[0].shape[1]
 
         def slot_sample(slot):
             s_tid = scene.tex_ids[mat_id, slot]               # (H, W)
@@ -311,17 +315,15 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
             xf = scene.tex_uv_transform[mat_id, slot]         # (H, W, 6)
             wraps = scene.tex_wraps[mat_id, slot]
             uv_t = apply_uv_transform(uv_px, xf[..., :4], xf[..., 4:6])
-            sb = atlas.scale_bias[jnp.maximum(s_tid, 0)]
-            from diligentfx_tpu.ops.sampling import compute_texture_lod
-            eff_w = atlas_res * sb[..., 0]
-            eff_h = atlas_res * sb[..., 1]
+            eff_w, eff_h = texture_base_size(atlas, jnp.maximum(s_tid, 0))
             dx = duv_dx * jnp.stack([eff_w, eff_h], -1)
             dy = duv_dy * jnp.stack([eff_w, eff_h], -1)
             rho2 = jnp.maximum(jnp.sum(dx * dx, -1), jnp.sum(dy * dy, -1))
             lod = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
             lod = lod + info.renderer_params.mip_bias
-            val = sample_atlas(atlas, jnp.maximum(s_tid, 0), uv_t, lod,
-                               wrap_u=wraps[..., 0], wrap_v=wraps[..., 1])
+            val = sample_material_texture(
+                atlas, jnp.maximum(s_tid, 0), uv_t, lod,
+                wrap_u=wraps[..., 0], wrap_v=wraps[..., 1])
             return val, bound
 
         bc_t, bc_on = slot_sample(0)
