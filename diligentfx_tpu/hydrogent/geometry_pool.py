@@ -83,17 +83,15 @@ class HnGeometryPool:
 
     # -- acquire / release -----------------------------------------------------
 
-    def acquire(self, points: np.ndarray, normals: Optional[np.ndarray],
-                uvs: Optional[np.ndarray], indices: np.ndarray) -> bytes:
-        """Register mesh content; returns the (refcounted) content key.
-        Identical content shares one entry — normals/tangents are computed
-        once per unique blob (HnGeometryPool.cpp dedup cache)."""
-        key = self.content_key(points, normals, uvs, indices)
-        e = self._entries.get(key)
-        if e is not None:
-            e.refcount += 1
-            return key
-
+    @staticmethod
+    def prepare_content(points: np.ndarray, normals: Optional[np.ndarray],
+                        uvs: Optional[np.ndarray], indices: np.ndarray):
+        """The PURE prep half of acquire: content hash + normal/tangent
+        generation + staging.  No pool state is touched, so this is safe to
+        fan out across a thread pool (the parallel-prim-Sync analogue,
+        HnRenderDelegate.hpp:405 — numpy/blake2b release the GIL on large
+        buffers).  Returns (key, staged) for `acquire_prepared`."""
+        key = HnGeometryPool.content_key(points, normals, uvs, indices)
         from diligentfx_tpu.gltf.primitives import compute_tangents
         from diligentfx_tpu.hydrogent.render_delegate import _area_normals
         pts = np.asarray(points, np.float32)
@@ -103,7 +101,17 @@ class HnGeometryPool:
               else np.zeros((pts.shape[0], 2), np.float32))
         tan = np.asarray(compute_tangents(pts, nrm, uv, indices), np.float32)
         idx = np.asarray(indices, np.int32)
+        return key, (pts, nrm, uv, tan, idx)
 
+    def acquire_prepared(self, key: bytes, staged) -> bytes:
+        """The SERIAL registration half of acquire: dedup lookup + range
+        allocation + entry insert.  Call in a deterministic prim order —
+        offsets then never depend on thread completion order."""
+        e = self._entries.get(key)
+        if e is not None:
+            e.refcount += 1
+            return key
+        pts, nrm, uv, tan, idx = staged
         v_len, t_len = pts.shape[0], idx.shape[0]
         v_off = self._alloc_range(True, v_len)
         t_off = self._alloc_range(False, t_len)
@@ -114,6 +122,19 @@ class HnGeometryPool:
         self._entries[key] = e
         self._dirty.append(key)
         return key
+
+    def acquire(self, points: np.ndarray, normals: Optional[np.ndarray],
+                uvs: Optional[np.ndarray], indices: np.ndarray) -> bytes:
+        """Register mesh content; returns the (refcounted) content key.
+        Identical content shares one entry — normals/tangents are computed
+        once per unique blob (HnGeometryPool.cpp dedup cache)."""
+        key = self.content_key(points, normals, uvs, indices)
+        e = self._entries.get(key)
+        if e is not None:
+            e.refcount += 1
+            return key
+        key2, staged = self.prepare_content(points, normals, uvs, indices)
+        return self.acquire_prepared(key2, staged)
 
     def release(self, key: bytes) -> None:
         e = self._entries.get(key)

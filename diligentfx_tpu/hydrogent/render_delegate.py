@@ -394,19 +394,39 @@ class HnRenderDelegate:
         # ---- geometry: route every mesh through the deduplicated pool -------
         # (HnGeometryPool::Commit) — identical content shares ONE entry;
         # dirty meshes upload O(their bytes); scene expansion is a
-        # device-side gather from the resident pool
+        # device-side gather from the resident pool.
+        #
+        # Parallel prim sync (HnRenderDelegate::IsParallelSyncEnabled,
+        # interface:405): the per-mesh pure-host prep (content hash, area
+        # normals, tangent generation) fans out across a thread pool; the
+        # stateful pool registration then runs serially in prim order, so
+        # offsets/dedup NEVER depend on thread completion order (determinism
+        # contract, tested).
         pool = self.geometry_pool
-        for pid, mesh in self.meshes.items():
-            if not mesh.visible or mesh.points is None or mesh.indices is None:
-                continue
-            if mesh.dirty or pid not in self._mesh_geo:
-                new_key = pool.acquire(mesh.points, mesh.normals, mesh.uvs,
-                                       mesh.indices)
-                old = self._mesh_geo.get(pid)
-                if old is not None:
-                    pool.release(old)
-                self._mesh_geo[pid] = new_key
-                mesh.dirty = False
+        dirty = [(pid, mesh) for pid, mesh in self.meshes.items()
+                 if (mesh.visible and mesh.points is not None
+                     and mesh.indices is not None
+                     and (mesh.dirty or pid not in self._mesh_geo))]
+        if self.ci.allow_parallel_sync and len(dirty) > 1:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+            workers = min(len(dirty), max(os.cpu_count() or 1, 2), 16)
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                prepped = list(ex.map(
+                    lambda pm: pool.prepare_content(
+                        pm[1].points, pm[1].normals, pm[1].uvs,
+                        pm[1].indices),
+                    dirty))
+        else:
+            prepped = [pool.prepare_content(m.points, m.normals, m.uvs,
+                                            m.indices) for _, m in dirty]
+        for (pid, mesh), (key, staged) in zip(dirty, prepped):
+            new_key = pool.acquire_prepared(key, staged)
+            old = self._mesh_geo.get(pid)
+            if old is not None:
+                pool.release(old)
+            self._mesh_geo[pid] = new_key
+            mesh.dirty = False
         pool_dev = pool.commit()        # budgeted: entries past the budget
                                         # stay PENDING until a later commit
 

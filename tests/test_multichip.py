@@ -120,3 +120,80 @@ def test_full_deferred_banded_matches_sp1(setup):
     a4, a1 = np.asarray(c4), np.asarray(c1)
     assert np.isfinite(a4).all() and np.isfinite(a1).all()
     np.testing.assert_allclose(a4, a1, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_banded_matches_task_manager_execute_1080p(setup):
+    """1080p-class cross-IMPLEMENTATION parity: the sp=4 banded pipeline vs
+    the production HnTaskManager.execute (not banded-vs-banded) over two
+    frames with TAA jitter, SSAO, SSR, OIT, bloom, tone map + sRGB — the
+    round-3 verdict's done-criterion for the banded-path unification.  Any
+    fork between the shared effect implementations and the banded wiring
+    shows up here as a mismatch."""
+    from diligentfx_tpu.attribs import PBRMaterialBasicAttribs
+    from diligentfx_tpu.config import ToneMappingMode
+    from diligentfx_tpu.gltf.primitives import plane, uv_sphere
+    from diligentfx_tpu.hydrogent.task_manager import (FrameSettings,
+                                                       HnTaskManager,
+                                                       TaskManagerCreateInfo)
+    from diligentfx_tpu.parallel.tiling import (initial_banded_state,
+                                                render_frame_banded)
+    from diligentfx_tpu.pbr.renderer import build_scene
+    from diligentfx_tpu.postfx.ssr import SSRSettings
+
+    renderer, _scene, info = setup
+    W, H, SP = 1920, 1088, 4
+    # a scene WITH blend geometry so the banded OIT path is exercised
+    sphere = uv_sphere(0.8, 8, 10)
+    g = plane(20.0)
+    gn = np.eye(4, dtype=np.float32)
+    gn[3, 1] = -1.0
+    tn = np.eye(4, dtype=np.float32)
+    tn[3, 0] = 1.2
+    scene = build_scene([
+        (sphere, np.eye(4, dtype=np.float32),
+         PBRMaterialBasicAttribs.create(base_color_factor=(0.8, 0.2, 0.2, 1),
+                                        metallic_factor=0.4,
+                                        roughness_factor=0.3)),
+        (sphere, tn,
+         PBRMaterialBasicAttribs.create(base_color_factor=(0.2, 0.5, 0.9, 0.5),
+                                        alpha_mode=2, roughness_factor=0.2)),
+        (g, gn, PBRMaterialBasicAttribs.create(
+            base_color_factor=(0.4, 0.4, 0.45, 1), roughness_factor=0.7)),
+    ])
+    cam_w = m3.look_at([0.0, 1.5, 5.0], [0, 0, 0])
+    cam = CameraAttribs.create(cam_w, m3.perspective(0.9, W / H, 0.1, 50.0),
+                               [0.0, 1.5, 5.0], 0.1, 50.0, W, H)
+    info = info._replace(camera=cam)
+
+    ssr_steps = 12
+    tmci = TaskManagerCreateInfo(
+        enable_ssao=True, ssao_half_resolution=True,
+        ssao_num_slices=2, ssao_num_steps=3,
+        enable_ssr=True, ssr_resolution_divisor=2,
+        enable_taa=True, enable_bloom=True, enable_dof=False,
+        oit_layer_count=4,
+        tone_mapping_mode=ToneMappingMode.UNCHARTED2,
+        convert_output_to_srgb=True)
+    tm = HnTaskManager(renderer, tmci)
+    settings = FrameSettings(ssr=SSRSettings(
+        max_traversal_intersections=ssr_steps))
+
+    mesh_sp = Mesh(np.asarray(jax.devices()[:SP]).reshape(SP), ("sp",))
+    bst = initial_banded_state(W, H, mesh_sp)
+    est = tm.initial_state(W, H)
+    for _ in range(2):
+        cb, bst = render_frame_banded(
+            scene, info, renderer.ibl_maps, renderer.env_oct, bst, mesh_sp,
+            width=W, height=H, cfg=renderer.raster_cfg, use_ibl=True,
+            enable_ssao=True, ssao_num_slices=2, ssao_num_steps=3,
+            enable_ssr=True, ssr_divisor=2, ssr_steps=ssr_steps,
+            enable_taa=True, enable_bloom=True, oit_layer_count=4,
+            tone_mapping_mode=ToneMappingMode.UNCHARTED2,
+            convert_output_to_srgb=True, jitter_seq=tm.jitter_seq)
+        out = tm.execute(scene, info, est, width=W, height=H,
+                         settings=settings)
+        est = out.state
+    a_b, a_e = np.asarray(cb), np.asarray(out.color)
+    assert np.isfinite(a_b).all() and np.isfinite(a_e).all()
+    np.testing.assert_allclose(a_b, a_e, atol=4e-3, rtol=4e-3)

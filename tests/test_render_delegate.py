@@ -247,3 +247,64 @@ def test_geometry_subsets_bind_per_face_materials():
     a, b = tm[0], tm[2]
     assert tm[0] == tm[1] and tm[2] == tm[3] == tm[4]
     assert a != b
+
+
+def test_parallel_prim_sync_deterministic_and_threaded(monkeypatch):
+    """allow_parallel_sync fans the per-mesh host prep (hash/normals/
+    tangents) across a thread pool (HnRenderDelegate.hpp:405); the pool
+    registration stays serial in prim order, so the committed scene is
+    BIT-identical to the serial path, and the flag genuinely changes
+    execution (prep observed on >1 thread)."""
+    import threading
+    import time
+    from diligentfx_tpu.config import PBRRendererCreateInfo, RasterizerConfig
+    from diligentfx_tpu.hydrogent.geometry_pool import HnGeometryPool
+    from diligentfx_tpu.hydrogent.task_manager import TaskManagerCreateInfo
+    from diligentfx_tpu.pbr.renderer import PBRRenderer
+
+    def build(parallel):
+        d = HnRenderDelegate(
+            ci=HnRenderDelegateCreateInfo(allow_parallel_sync=parallel))
+        rng = np.random.default_rng(7)
+        for i in range(10):
+            m = d.create_rprim("mesh", f"/m{i}")
+            n = 12 + (i % 3) * 4
+            pts = rng.random((n, 3), np.float32).astype(np.float32)
+            idx = np.stack([np.zeros(n - 2), np.arange(1, n - 1),
+                            np.arange(2, n)], -1).astype(np.int32)
+            if i == 9:        # duplicate of mesh 8: exercises dedup ordering
+                prev = d.meshes["/m8"]
+                m.set_triangles(prev.indices)
+                m.set_points(prev.points)
+            else:
+                m.set_triangles(idx)
+                m.set_points(pts)
+        d.commit_resources()
+        return d
+
+    # determinism: identical committed scenes + pool layout either way
+    d_ser = build(False)
+    d_par = build(True)
+    s1, s2 = d_ser._scene, d_par._scene
+    np.testing.assert_array_equal(np.asarray(s1.positions),
+                                  np.asarray(s2.positions))
+    np.testing.assert_array_equal(np.asarray(s1.indices),
+                                  np.asarray(s2.indices))
+    np.testing.assert_array_equal(np.asarray(s1.vertex_node),
+                                  np.asarray(s2.vertex_node))
+    assert ({k: e.v_off for k, e in d_ser.geometry_pool._entries.items()}
+            == {k: e.v_off for k, e in d_par.geometry_pool._entries.items()})
+    assert d_ser.geometry_pool.stats()["entries"] == 9   # /m9 deduped
+
+    # flag behavior: the parallel path runs prep on more than one thread
+    seen = set()
+    orig = HnGeometryPool.prepare_content
+
+    def spy(points, normals, uvs, indices):
+        seen.add(threading.get_ident())
+        time.sleep(0.02)           # hold the slot so both workers engage
+        return orig(points, normals, uvs, indices)
+
+    monkeypatch.setattr(HnGeometryPool, "prepare_content", staticmethod(spy))
+    build(True)
+    assert len(seen) > 1, "parallel sync never left the calling thread"
