@@ -224,12 +224,16 @@ def build_packed_pyramid(mips: Sequence[Array]) -> Array:
     """Pack a square mip chain into a gather-FOOTPRINT table: one row per
     texel of levels 0..L-2 holding that texel's clamped fine 2×2 bilinear
     footprint (12 floats) plus the 3×3 coarse window at level l+1 centered
-    at (y//2, x//2) (27 floats) — every texel a trilinear sample with
-    x0=floor(u·n-0.5)=x can touch.  One row gather then yields a FULL
-    trilinear sample (`sample_pyramid_packed`): gathers cost by ROWS on
-    this TPU, not row width (PERF_NOTES.md), so this is 8× fewer gathers
+    at the texel's coarse-grid image (27 floats) — every texel a trilinear
+    sample with x0=floor(u·n-0.5)=x can touch.  One row gather then yields
+    a FULL trilinear sample (`sample_pyramid_packed`): gathers cost by ROWS
+    on this TPU, not row width (PERF_NOTES.md), so this is 8× fewer gathers
     than the 2-tap flattened-pyramid path and strictly higher quality than
     the round-3 nearest-mip fast path it replaces.
+
+    Levels may HALVE or REPEAT their size (prefilter_env_ggx_oct clamps at
+    4×4 but keeps emitting roughness levels): the coarse window center is
+    (y//2, x//2) for a halving step and (y, x) for a same-size step.
 
     Returns (R, 40) f32 with R = Σ_{l<L-1} n_l² (rows in level-major,
     row-major texel order; the 40th column is alignment padding)."""
@@ -238,6 +242,8 @@ def build_packed_pyramid(mips: Sequence[Array]) -> Array:
         img = mips[lvl]
         coarse = mips[lvl + 1] if lvl + 1 < len(mips) else mips[lvl]
         n = img.shape[0]
+        halving = coarse.shape[0] != n
+        assert coarse.shape[0] in (n, n // 2), (n, coarse.shape[0])
 
         def shift(a, dy, dx):
             # clamp-to-edge shift: out[y, x] = a[clip(y+dy), clip(x+dx)]
@@ -247,12 +253,14 @@ def build_packed_pyramid(mips: Sequence[Array]) -> Array:
 
         fine = [img, shift(img, 0, 1), shift(img, 1, 0), shift(img, 1, 1)]
         # coarse window on the fine grid: cw(dy,dx)[y,x] =
-        # coarse[clip(y//2+dy), clip(x//2+dx)]
+        # coarse[clip(cy+dy), clip(cx+dx)] with (cy,cx) = (y//2,x//2) or (y,x)
         cw = []
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 c = shift(coarse, dy, dx)
-                cw.append(jnp.repeat(jnp.repeat(c, 2, axis=0), 2, axis=1)[:n, :n])
+                if halving:
+                    c = jnp.repeat(jnp.repeat(c, 2, axis=0), 2, axis=1)
+                cw.append(c[:n, :n])
         row = jnp.concatenate(fine + cw, axis=-1)           # (n, n, 39)
         packs.append(row.reshape(n * n, 39))
     packed = jnp.concatenate(packs, axis=0)
@@ -270,26 +278,36 @@ def _packed_level_bilinear(g: Array, base: int, tx: Array, ty: Array) -> Array:
     return top + (bot - top) * ty
 
 
-def sample_pyramid_packed(packed: Array, top_dim: int, num_levels: int,
+def sample_pyramid_packed(packed: Array, sizes: Sequence[int],
                           uv: Array, lod: Array) -> Array:
     """Full trilinear sample of a square clamp-wrapped mip pyramid with ONE
     row gather per pixel, from a `build_packed_pyramid` table.  Numerically
-    identical to `sample_oct_pyramid`'s 8-tap trilinear (tests assert it)."""
+    identical to `sample_oct_pyramid`'s 8-tap trilinear (tests assert it).
+
+    sizes: STATIC per-level dims (each next level the same size or half —
+    prefiltered env chains repeat 4×4 for the roughest levels)."""
+    sizes = tuple(int(s) for s in sizes)
+    num_levels = len(sizes)
     lod = jnp.clip(lod, 0.0, num_levels - 1.0)
     lvl = jnp.clip(jnp.floor(lod), 0, max(num_levels - 2, 0)).astype(jnp.int32)
     frac = jnp.clip(lod - lvl.astype(jnp.float32), 0.0, 1.0)[..., None]
-    n = jnp.right_shift(jnp.int32(top_dim), lvl)
-    nf = n.astype(jnp.float32)
-    # static per-level row offsets resolved by a (short) select chain —
-    # an offsets[lvl] array index would itself be a full-screen gather
+    # static per-level size / row offset / halving flag resolved by a (short)
+    # select chain — an offsets[lvl] array index would itself be a gather
+    n = jnp.full_like(lvl, sizes[0])
     off = jnp.zeros_like(lvl)
+    halv = jnp.ones(lvl.shape, jnp.bool_)
     acc = 0
     for i in range(max(num_levels - 1, 1)):
-        off = jnp.where(lvl == i, acc, off)
-        acc += (top_dim >> i) ** 2
+        sel = lvl == i
+        n = jnp.where(sel, sizes[i], n)
+        off = jnp.where(sel, acc, off)
+        nxt = sizes[min(i + 1, num_levels - 1)]
+        halv = jnp.where(sel, nxt != sizes[i], halv)
+        acc += sizes[i] ** 2
 
     # fine footprint coordinates (clamp wrap; a clamped-negative x0 zeroes
     # tx so the packed row-0 footprint reproduces edge-clamp bilinear)
+    nf = n.astype(jnp.float32)
     fx = uv[..., 0] * nf - 0.5
     fy = uv[..., 1] * nf - 0.5
     x0 = jnp.floor(fx).astype(jnp.int32)
@@ -302,16 +320,19 @@ def sample_pyramid_packed(packed: Array, top_dim: int, num_levels: int,
     g = packed[off + y0p * n + x0p]                     # (..., 40) ONE gather
     fine = _packed_level_bilinear(g, 0, tx, ty)
 
-    # coarse footprint inside the packed 3×3 window centered at
-    # (y0p//2, x0p//2); the true coarse x0' is always within [center-1, center]
-    fxc = fx * 0.5 - 0.25
-    fyc = fy * 0.5 - 0.25
+    # coarse footprint inside the packed 3×3 window centered at the texel's
+    # coarse-grid image ((y0p//2, x0p//2) for a halving step, (y0p, x0p) for
+    # a same-size step); the true coarse x0' is within [center-1, center]
+    fxc = jnp.where(halv, fx * 0.5 - 0.25, fx)
+    fyc = jnp.where(halv, fy * 0.5 - 0.25, fy)
     xc0 = jnp.floor(fxc).astype(jnp.int32)
     yc0 = jnp.floor(fyc).astype(jnp.int32)
     tcx = jnp.where(xc0 < 0, 0.0, fxc - xc0.astype(jnp.float32))[..., None]
     tcy = jnp.where(yc0 < 0, 0.0, fyc - yc0.astype(jnp.float32))[..., None]
-    jx1 = (jnp.clip(xc0 - (jnp.right_shift(x0p, 1) - 1), 0, 2) == 1)[..., None]
-    jy1 = (jnp.clip(yc0 - (jnp.right_shift(y0p, 1) - 1), 0, 2) == 1)[..., None]
+    cx = jnp.where(halv, jnp.right_shift(x0p, 1), x0p)
+    cy = jnp.where(halv, jnp.right_shift(y0p, 1), y0p)
+    jx1 = (jnp.clip(xc0 - (cx - 1), 0, 2) == 1)[..., None]
+    jy1 = (jnp.clip(yc0 - (cy - 1), 0, 2) == 1)[..., None]
 
     def ent(r, c):
         b = 12 + (r * 3 + c) * 3

@@ -311,8 +311,8 @@ def _sample_prefiltered(maps: IBLMaps, direction: Array, lod: Array,
         from diligentfx_tpu.ops.sampling import (dir_to_oct_uv,
                                                  sample_pyramid_packed)
         return sample_pyramid_packed(
-            maps.pref_packed, maps.prefiltered[0].shape[0],
-            len(maps.prefiltered), dir_to_oct_uv(direction), lod)
+            maps.pref_packed, tuple(m.shape[0] for m in maps.prefiltered),
+            dir_to_oct_uv(direction), lod)
     if maps.pref_flat is not None:
         from diligentfx_tpu.ops.sampling import (_pyramid_bilinear,
                                                  dir_to_oct_uv,

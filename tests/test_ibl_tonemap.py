@@ -145,7 +145,35 @@ def test_packed_pyramid_matches_two_tap_trilinear():
     lod = jnp.asarray(rng.uniform(-0.5, len(mips) - 0.3, (64, 33)), jnp.float32)
 
     ref = sample_oct_pyramid(flat, offs, sizes, d, lod)
-    got = sample_pyramid_packed(packed, 32, len(mips), dir_to_oct_uv(d), lod)
+    got = sample_pyramid_packed(packed, [m.shape[0] for m in mips],
+                                dir_to_oct_uv(d), lod)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_packed_pyramid_repeated_tail_levels():
+    """Prefiltered env chains clamp at 4×4 but keep emitting roughness
+    levels (pbr/ibl.prefilter_env_ggx_oct) — the packed table must handle
+    same-size coarse steps (the round-4 regression that broke the CSM
+    golden: top_dim >> lvl assumed strict halving)."""
+    from diligentfx_tpu.ops.sampling import (build_packed_pyramid,
+                                             flatten_mip_pyramid,
+                                             sample_oct_pyramid,
+                                             sample_pyramid_packed)
+    rng = np.random.default_rng(11)
+    dims = [16, 8, 4, 4, 4, 4]
+    mips = [jnp.asarray(rng.random((n, n, 3)), jnp.float32) for n in dims]
+    flat, offs, sizes = flatten_mip_pyramid(mips)
+    packed = build_packed_pyramid(mips)
+    assert packed.shape[0] == sum(n * n for n in dims[:-1])
+
+    d = rng.normal(size=(64, 33, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    lod = jnp.asarray(rng.uniform(-0.5, len(mips) - 0.3, (64, 33)), jnp.float32)
+
+    ref = sample_oct_pyramid(flat, offs, sizes, d, lod)
+    got = sample_pyramid_packed(packed, dims, dir_to_oct_uv(d), lod)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
 
@@ -160,9 +188,9 @@ def test_packed_pyramid_edge_uv_clamps():
     packed = build_packed_pyramid(mips)
     uv = jnp.asarray([[0.0, 0.0], [1.0, 1.0], [0.0, 1.0], [1.0, 0.0],
                       [0.5, 0.0], [0.03, 0.97]], jnp.float32)
-    got0 = sample_pyramid_packed(packed, 8, 2, uv, jnp.zeros(6))
+    got0 = sample_pyramid_packed(packed, (8, 4), uv, jnp.zeros(6))
     ref0 = bilinear_sample(mips[0], uv)
     np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0), atol=1e-6)
-    got1 = sample_pyramid_packed(packed, 8, 2, uv, jnp.ones(6))
+    got1 = sample_pyramid_packed(packed, (8, 4), uv, jnp.ones(6))
     ref1 = bilinear_sample(mips[1], uv)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), atol=1e-6)
