@@ -243,7 +243,11 @@ def build_packed_pyramid(mips: Sequence[Array]) -> Array:
         coarse = mips[lvl + 1] if lvl + 1 < len(mips) else mips[lvl]
         n = img.shape[0]
         halving = coarse.shape[0] != n
-        assert coarse.shape[0] in (n, n // 2), (n, coarse.shape[0])
+        # exact same-size or exact-half steps only: the sampling math
+        # (fx*0.5-0.25 / x0p>>1) assumes 2x halving, and an odd-n floor-half
+        # chain would die later in a shape error (ADVICE r4)
+        assert coarse.shape[0] == n or coarse.shape[0] * 2 == n, \
+            f"mip step must be same-size or exact half, got {n}->{coarse.shape[0]}"
 
         def shift(a, dy, dx):
             # clamp-to-edge shift: out[y, x] = a[clip(y+dy), clip(x+dx)]
@@ -288,6 +292,13 @@ def sample_pyramid_packed(packed: Array, sizes: Sequence[int],
     prefiltered env chains repeat 4×4 for the roughest levels)."""
     sizes = tuple(int(s) for s in sizes)
     num_levels = len(sizes)
+    # guard against a stale/mismatched static sizes list (ADVICE r4): the
+    # table has one row per texel of levels 0..L-2, and steps must be
+    # same-size or exact half (build_packed_pyramid's contract)
+    expect_rows = sum(s * s for s in sizes[:-1]) if num_levels > 1 else sizes[0] ** 2
+    assert packed.shape[0] == expect_rows, \
+        f"packed pyramid has {packed.shape[0]} rows, sizes {sizes} imply {expect_rows}"
+    assert all(b == a or b * 2 == a for a, b in zip(sizes, sizes[1:])), sizes
     lod = jnp.clip(lod, 0.0, num_levels - 1.0)
     lvl = jnp.clip(jnp.floor(lod), 0, max(num_levels - 2, 0)).astype(jnp.int32)
     frac = jnp.clip(lod - lvl.astype(jnp.float32), 0.0, 1.0)[..., None]

@@ -428,8 +428,16 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
     if scene.materials_transmission is not None:
         transmission = scene.materials_transmission.factor[mat_id][..., None]
     volume_thickness = None
+    volume_attenuation = None
     if scene.materials_volume is not None:
-        volume_thickness = scene.materials_volume.thickness_factor[mat_id][..., None]
+        mv = scene.materials_volume
+        volume_thickness = mv.thickness_factor[mat_id][..., None]
+        # per-material Beer-Lambert sigma_t = -ln(atten_color)/atten_distance
+        # (KHR_materials_volume; PBR_Structures.fxh:229-239), gathered with
+        # the same mat_id row the other extension attribs ride
+        sigma = (-jnp.log(jnp.maximum(mv.attenuation_color, 1e-4))
+                 / jnp.maximum(mv.attenuation_distance[..., None], 1e-6))
+        volume_attenuation = sigma[mat_id]
 
     shading = sh.SurfaceShadingInfo(
         pos=pos_px, view=view, occlusion=occlusion,
@@ -439,7 +447,8 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         ibl_scale=info.renderer_params.ibl_scale[:3],
         clearcoat=clearcoat, sheen=sheen, anisotropy=anisotropy,
         iridescence=iridescence, transmission=transmission,
-        volume_thickness=volume_thickness)
+        volume_thickness=volume_thickness,
+        volume_attenuation=volume_attenuation)
 
     lighting = sh.default_lighting(pos_px, with_sheen=sheen is not None,
                                    with_clearcoat=clearcoat is not None)

@@ -81,3 +81,35 @@ def test_energy_conservation_across_materials(furnace):
             assert c.mean() <= L * 1.10, (metallic, rough, c.mean())
             # and metals shouldn't go dark (multiple-scattering IBL)
             assert c.mean() >= L * 0.55, (metallic, rough, c.mean())
+
+
+def test_glass_furnace_energy(furnace):
+    """Transmissive white sphere in a uniform furnace: transmitted + reflected
+    energy must still ≈ L — glass neither glows nor goes dark (the round-4
+    (1-T)-only model rendered it at ~F0·L).  Uses the deferred path, which
+    carries the transmission/volume extension attribs."""
+    from diligentfx_tpu.attribs import (PBRMaterialTransmissionAttribs,
+                                        stack_materials)
+    from diligentfx_tpu.pbr.deferred import render_gbuffer
+    renderer, cfg = furnace
+    sphere = uv_sphere(1.0, stacks=24, slices=32)
+    scene = build_scene([(sphere, np.eye(4, dtype=np.float32),
+                          PBRMaterialBasicAttribs.create(
+                              base_color_factor=(1.0, 1.0, 1.0, 1.0),
+                              metallic_factor=0.0, roughness_factor=0.3))])
+    scene = scene._replace(materials_transmission=stack_materials(
+        [PBRMaterialTransmissionAttribs.create(1.0)]))
+    eye = [0.0, 0.0, 3.0]
+    cam = CameraAttribs.create(m3.look_at(eye, [0, 0, 0]),
+                               m3.perspective(0.8, 1.0, 0.1, 50.0),
+                               eye, 0.1, 50.0, W, H)
+    lights = PBRLightAttribs.directional([0, -1, 0], [0.0, 0.0, 0.0])
+    info = RenderInfo(camera=cam, lights=lights,
+                      renderer_params=PBRRendererShaderParameters.create())
+    gb = render_gbuffer(scene, info, renderer.ibl_maps, renderer.env_oct,
+                        width=W, height=H, cfg=cfg)
+    total = np.asarray(gb.direct + gb.ambient_diffuse + gb.ambient_specular)
+    c = total[H // 2 - 20:H // 2 + 20, W // 2 - 20:W // 2 + 20]
+    assert np.isfinite(c).all()
+    assert c.mean() <= L * 1.10, c.mean()
+    assert c.mean() >= L * 0.80, c.mean()
