@@ -474,7 +474,10 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                         if i < len(light_shadow_kinds) else "none")
                 if kind == "csm" and csm_factor is not None:
                     factors.append(csm_factor)
-                elif kind == "spot":
+                elif kind in ("spot", "dir"):
+                    # one slice each: spot perspective or fitted-ortho
+                    # directional (shadow_atlas.directional_view_proj — the
+                    # HnLight single-slice directional path)
                     factors.append(smm.sample_light_shadow(
                         pos_px, info.light_shadow_view_projs[base:base + 1],
                         info.light_shadow_maps[base:base + 1],
