@@ -118,6 +118,9 @@ class TaskManagerCreateInfo:
     # their output materialization cost disappears.  The reference
     # analogue: a Hydra app requests only the AOV Bprims it binds.
     emit_aovs: bool = True
+    # Profiling/ablation switch: disable punctual-light evaluation in the
+    # G-buffer (in-frame delta attribution; not a production knob)
+    use_lights: bool = True
 
 
 class BoundBoxParams(NamedTuple):
@@ -391,7 +394,7 @@ def _frame_begin(scene, info: RenderInfo, state: FrameState, ibl_maps,
     with jax.named_scope("hn.render_rprims"):
         gb = render_gbuffer(scene, info, ibl_maps, env_oct,
                         width=width, height=height, cfg=cfg,
-                        use_ibl=use_ibl, use_lights=True,
+                        use_ibl=use_ibl, use_lights=ci.use_lights,
                         shadow_mode=shadow_mode,
                         pcf_kernel_size=pcf_kernel_size,
                         atlas=atlas, use_textures=use_textures,

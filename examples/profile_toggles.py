@@ -43,8 +43,12 @@ def main():
 
     w, h = 1920, 1080
     scene = build_bench_scene(5, 9, 32)
+    # EXACTLY the bench.py headline config (round 5): deltas below attribute
+    # the 208 ms plateau
     cfg = RasterizerConfig(tile_h=32, tile_w=128, bin_capacity=1024,
-                           max_tiles_per_tri=8, big_tri_capacity=64, chunk=8)
+                           max_tiles_per_tri=8, big_tri_capacity=64,
+                           chunk=8, pair_compaction_cap=1 << 17,
+                           sub_bins=4, big_tile_capacity=16)
     renderer = PBRRenderer(PBRRendererCreateInfo(), raster_cfg=cfg)
     renderer_noibl = None
 
@@ -52,7 +56,7 @@ def main():
         enable_ssao=True, ssao_half_resolution=True,
         ssao_num_slices=2, ssao_num_steps=4,
         ssao_use_pallas=True, ssr_use_pallas=True, fast_env_taps=True,
-        enable_ssr=True, ssr_half_resolution=True, ssr_resolution_divisor=4,
+        enable_ssr=True, ssr_half_resolution=True, ssr_resolution_divisor=2,
         enable_taa=True, enable_bloom=True, enable_dof=False,
         taa_feature_flags=(TAAFeatureFlags.YCOCG_COLOR_SPACE
                            | TAAFeatureFlags.GAUSSIAN_WEIGHTING
@@ -67,14 +71,15 @@ def main():
                     enable_bloom=False)
 
     variants = [
-        ("base_div4", mk(), None),
-        ("ssr_div2", mk(ssr_resolution_divisor=2), None),
+        ("base_div2", mk(), None),
+        ("ssr_div4", mk(ssr_resolution_divisor=4), None),
         ("no_ssr", mk(enable_ssr=False), None),
         ("no_ssao", mk(enable_ssao=False), None),
         ("no_taa", mk(enable_taa=False), None),
         ("no_bloom", mk(enable_bloom=False), None),
         ("gbuffer_only", mk(**gbuf_off), None),
         ("gbuffer_no_ibl", mk(**gbuf_off), "noibl"),
+        ("gbuffer_no_lights", mk(use_lights=False, **gbuf_off), None),
         ("gbuffer_no_aovs", mk(emit_aovs=False, **gbuf_off), None),
         ("full_no_aovs", mk(emit_aovs=False), None),
         ("gbuffer_fuse_off", mk(**gbuf_off), "fuseoff"),
@@ -124,8 +129,8 @@ def main():
         results[name] = ms
         if mode == "fuseoff":
             os.environ.pop("DFX_FUSE", None)
-        base = results.get("base_div4")
-        delta = f"  (delta vs base {ms - base:+8.1f})" if base and name != "base_div4" else ""
+        base = results.get("base_div2")
+        delta = f"  (delta vs base {ms - base:+8.1f})" if base and name != "base_div2" else ""
         print(f"{name:22s} {ms:9.1f} ms{delta}", flush=True)
 
 
