@@ -121,6 +121,9 @@ class TaskManagerCreateInfo:
     # Profiling/ablation switch: disable punctual-light evaluation in the
     # G-buffer (in-frame delta attribution; not a production knob)
     use_lights: bool = True
+    # Profiling/ablation switch: skip ALL interpolation/material/shading and
+    # emit a visibility-only G-buffer (raster + binning cost in isolation)
+    vis_only: bool = False
 
 
 class BoundBoxParams(NamedTuple):
@@ -395,6 +398,7 @@ def _frame_begin(scene, info: RenderInfo, state: FrameState, ibl_maps,
         gb = render_gbuffer(scene, info, ibl_maps, env_oct,
                         width=width, height=height, cfg=cfg,
                         use_ibl=use_ibl, use_lights=ci.use_lights,
+                        vis_only=ci.vis_only,
                         shadow_mode=shadow_mode,
                         pcf_kernel_size=pcf_kernel_size,
                         atlas=atlas, use_textures=use_textures,

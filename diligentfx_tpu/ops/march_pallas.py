@@ -35,7 +35,17 @@ TILE_W = 128
 def _dda_body(row2, t0, t1, has, ou, du, oz, dz, thick,
               cols, t_lo_b, t_hit_b):
     """One piecewise-linear sub-interval [t0, t1] against a broadcast table
-    row: crossing test + secant, folded into the running first-hit min."""
+    row: crossing test + secant, folded into the running first-hit min.
+
+    The crossing is tested against EACH sampled texel's depth plane
+    separately (d0 at entry, d1 at exit), not only the mixed d0→d1 secant:
+    min-pooled thin NEAR features pollute single texels of the coarse table,
+    and a genuine far-surface crossing whose entry/exit sample lands in such
+    a texel fails the mixed test's acceptance window (measured 38% miss on
+    a railing scene, tests/test_ssr_march_fidelity.py).  Per-texel planes
+    mirror the reference hi-Z DDA's per-CELL intersection test
+    (SSR_ComputeIntersection.fx): only both-samples-polluted intervals can
+    still hide a hit.  Zero extra gathers — d0/d1 are already in hand."""
     u0 = ou + du * t0
     u1 = ou + du * t1
     x0 = jnp.clip(jnp.floor(u0 * cols).astype(jnp.int32), 0, cols - 1)
@@ -44,21 +54,42 @@ def _dda_body(row2, t0, t1, has, ou, du, oz, dz, thick,
     d1 = jnp.take_along_axis(row2, x1, axis=1)
     z0 = oz + dz * t0
     z1 = oz + dz * t1
-    f0 = z0 - d0
-    f1 = z1 - d1
-    # front-to-back crossing within the acceptance window (same semantics
-    # as the fixed-step march: in front at t0, behind within thickness +
-    # the sub-interval's own z advance at t1)
     slop = jnp.abs(dz) * (t1 - t0)
+    win = thick + slop
     inside = (u0 > 0.0) & (u0 < 1.0) & (u1 > 0.0) & (u1 < 1.0)
-    cross = has & inside & (f0 <= 0.0) & (f1 > 0.0) & (f1 < thick + slop)
-    denom = f1 - f0
-    frac = jnp.where(jnp.abs(denom) > 1e-12, -f0 / denom, 1.0)
-    t_star = t0 + jnp.clip(frac, 0.0, 1.0) * (t1 - t0)
-    upd = cross & (t_star < t_hit_b)
-    t_hit_b = jnp.where(upd, t_star, t_hit_b)
-    t_lo_b = jnp.where(upd, t0, t_lo_b)
-    return t_lo_b, t_hit_b
+    ok = has & inside
+    t_span = t1 - t0
+
+    # entry slack of half the sub-interval's z advance: a crossing that
+    # straddles the ROW BOUNDARY shows f slightly > 0 at this row's entry
+    # and f < 0 only vs the PREVIOUS row's depth — no single row sees the
+    # sign change (grazing rays on slowly-converging ramps; measured 19%
+    # miss at mip0 before this).  Worst case it accepts half a step early.
+    eps0 = 0.5 * slop
+
+    def plane(dp, t_lo_b, t_hit_b):
+        # crossing of the constant-depth plane z = dp within [t0, t1]
+        f0 = z0 - dp
+        f1 = z1 - dp
+        cross = ok & (f0 <= eps0) & (f1 > 0.0) & (f1 < win)
+        denom = f1 - f0
+        frac = jnp.where(jnp.abs(denom) > 1e-12, -f0 / denom, 1.0)
+        t_star = t0 + jnp.clip(frac, 0.0, 1.0) * t_span
+        upd = cross & (t_star < t_hit_b)
+        return (jnp.where(upd, t0, t_lo_b), jnp.where(upd, t_star, t_hit_b))
+
+    t_lo_b, t_hit_b = plane(d0, t_lo_b, t_hit_b)
+    t_lo_b, t_hit_b = plane(d1, t_lo_b, t_hit_b)
+    # the mixed d0→d1 secant still catches sloped surfaces converging with
+    # the ray between the two texels (both per-plane tests miss those)
+    f0m = z0 - d0
+    f1m = z1 - d1
+    crossm = ok & (f0m <= eps0) & (f1m > 0.0) & (f1m < win)
+    denom = f1m - f0m
+    frac = jnp.where(jnp.abs(denom) > 1e-12, -f0m / denom, 1.0)
+    t_star = t0 + jnp.clip(frac, 0.0, 1.0) * t_span
+    upd = crossm & (t_star < t_hit_b)
+    return (jnp.where(upd, t0, t_lo_b), jnp.where(upd, t_star, t_hit_b))
 
 
 def _march_kernel(coarse_ref, o_ref, d_ref, sc_ref,
@@ -182,17 +213,30 @@ def march_dda_reference(coarse, origin_uvz, dir_uvz, thickness_ndc):
         x1 = jnp.clip(jnp.floor(u1 * cols).astype(jnp.int32), 0, cols - 1)
         d0 = row_vals[x0]
         d1 = row_vals[x1]
-        f0 = oz + dz * t0 - d0
-        f1 = oz + dz * t1 - d1
+        z0 = oz + dz * t0
+        z1 = oz + dz * t1
         slop = jnp.abs(dz) * (t1 - t0)
+        win = thickness_ndc + slop
         inside = (u0 > 0.0) & (u0 < 1.0) & (u1 > 0.0) & (u1 < 1.0)
-        cross = (has & inside & (f0 <= 0.0) & (f1 > 0.0)
-                 & (f1 < thickness_ndc + slop))
-        denom = f1 - f0
-        frac = jnp.where(jnp.abs(denom) > 1e-12, -f0 / denom, 1.0)
-        t_star = t0 + jnp.clip(frac, 0.0, 1.0) * (t1 - t0)
-        upd = cross & (t_star < t_hit_b)
-        return (jnp.where(upd, t0, t_lo_b), jnp.where(upd, t_star, t_hit_b))
+        ok = has & inside
+        t_span = t1 - t0
+
+        eps0 = 0.5 * slop    # row-boundary slack, see _dda_body
+
+        def fold(f0, f1, t_lo_b, t_hit_b):
+            cross = ok & (f0 <= eps0) & (f1 > 0.0) & (f1 < win)
+            denom = f1 - f0
+            frac = jnp.where(jnp.abs(denom) > 1e-12, -f0 / denom, 1.0)
+            t_star = t0 + jnp.clip(frac, 0.0, 1.0) * t_span
+            upd = cross & (t_star < t_hit_b)
+            return (jnp.where(upd, t0, t_lo_b),
+                    jnp.where(upd, t_star, t_hit_b))
+
+        # per-texel depth planes (entry/exit) + the mixed secant — see
+        # _dda_body: single polluted min-pool texels must not hide hits
+        t_lo_b, t_hit_b = fold(z0 - d0, z1 - d0, t_lo_b, t_hit_b)
+        t_lo_b, t_hit_b = fold(z0 - d1, z1 - d1, t_lo_b, t_hit_b)
+        return fold(z0 - d0, z1 - d1, t_lo_b, t_hit_b)
 
     for r in range(rows):
         rf = float(r)

@@ -102,7 +102,7 @@ def _vertex_inputs(scene: ScenePrimitives, info: RenderInfo,
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "cfg", "use_ibl", "use_lights", "shadow_mode",
     "pcf_kernel_size", "use_textures", "enable_clearcoat", "fast_env",
-    "light_shadow_kinds", "fuse", "emit_debug"))
+    "light_shadow_kinds", "fuse", "emit_debug", "vis_only"))
 def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                    *, width: int, height: int, cfg: RasterizerConfig,
                    use_ibl: bool = True, use_lights: bool = True,
@@ -112,7 +112,8 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                    fast_env: bool = False,
                    light_shadow_kinds: tuple = (),
                    fuse: str = "auto",
-                   emit_debug: bool = False) -> GBufferData:
+                   emit_debug: bool = False,
+                   vis_only: bool = False) -> GBufferData:
     pad_w, pad_h = rz.pad_viewport(width, height, cfg)
     # ALPHA_MODE_MASK tris are the tail of the index buffer: the opaque
     # raster takes the static prefix, the tail goes through the K-layer
@@ -134,6 +135,22 @@ def render_gbuffer(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
                                     width=pad_w, height=pad_h, cfg=cfg,
                                     atlas=atlas, use_textures=use_textures)
         fused_px = None
+    if vis_only:
+        # profiling: raster + binning in isolation.  Channels are filled
+        # with depth-derived (non-constant) values so XLA cannot
+        # algebraically fold the downstream consumers away.
+        hit = vb.tri_id >= 0
+        d1 = jnp.where(hit, vb.depth, 1.0)
+        c1 = d1[..., None]
+        c3 = jnp.concatenate([c1, c1, c1], axis=-1)
+        gb = GBufferData(
+            depth=d1, mesh_id=vb.tri_id, normal_world=c3, normal_view=c3,
+            base_color=c3, material_data=c3,
+            motion=jnp.concatenate([c1, c1], axis=-1) * 1e-3,
+            world_pos=c3, direct=c3, ambient_diffuse=c3,
+            ambient_specular=c3, spec_env_factor=c3, background=c3,
+            hit=hit, debug=None)
+        return jax.tree.map(lambda x: x[:height, :width], gb)
     gb = _shade_band(scene, info, ibl_maps, env_oct, vb, clip, winv,
                      jnp.int32(0),
                      band_h=pad_h, pad_w=pad_w, pad_h=pad_h,

@@ -116,8 +116,16 @@ def _march(depth_mips, origin_uvz: Array, dir_uvz: Array, steps: int,
     else:
         ts = jnp.arange(steps + 1, dtype=jnp.float32) * dt           # (S+1,)
         p = origin_uvz[None] + dir_uvz[None] * ts[:, None, None, None]
-        d = point_sample(coarse[..., None], p[..., :2])[..., 0]      # (S+1,h,w)
-        f = p[..., 2] - d
+        # march the FINE buffer: an XLA gather costs per ROW, independent of
+        # which mip it reads — and the min-pooled coarse mips POLLUTE far
+        # surfaces near thin-feature silhouettes (a real crossing sampled
+        # through a polluted texel fails the acceptance window; 27% miss on
+        # the fidelity railing scene vs 3.8% fine, tests/
+        # test_ssr_march_fidelity.py).  The coarse table exists for the
+        # Pallas path's VMEM residency, not for XLA.
+        d = point_sample(fine[..., None], p[..., :2])[..., 0]        # (S+1,h,w)
+        z = p[..., 2]
+        f = z - d
         inside = ((p[..., 0] > 0) & (p[..., 0] < 1)
                   & (p[..., 1] > 0) & (p[..., 1] < 1))
         # a hit is a true front-to-back CROSSING: in front of the depth at
@@ -128,18 +136,37 @@ def _march(depth_mips, origin_uvz: Array, dir_uvz: Array, steps: int,
         # advance: an immediate opaque crossing overshoots by at most one
         # step of ray z, while passing BEHIND a thin silhouette jumps by
         # the (much larger) depth gap.
+        #
+        # The crossing is tested against the ENTRY texel's depth plane, the
+        # EXIT texel's, and the mixed secant (same trio as the Pallas DDA,
+        # ops/march_pallas.py _dda_body): min-pooled thin near features
+        # pollute single texels, and a real far-surface crossing sampled
+        # through such a texel fails the mixed window (26.9% miss on the
+        # fidelity test's railing scene before this).
         step_dz = jnp.abs(dir_uvz[..., 2]) * dt
-        cross = ((f[1:] > 0) & (f[:-1] <= 0)
-                 & (f[1:] < thickness_ndc + step_dz) & inside[1:])
+        win = thickness_ndc + step_dz
+
+        def bracket(g0, g1):
+            cross = (g0 <= 0) & (g1 > 0) & (g1 < win) & inside[1:]
+            denom = g1 - g0
+            frac = jnp.where(jnp.abs(denom) > 1e-12, -g0 / denom, 1.0)
+            return cross, jnp.clip(frac, 0.0, 1.0)
+
+        c_a, fr_a = bracket(f[:-1], z[1:] - d[:-1])     # entry-texel plane
+        c_b, fr_b = bracket(z[:-1] - d[1:], f[1:])      # exit-texel plane
+        c_m, fr_m = bracket(f[:-1], f[1:])              # mixed secant
+        cross = c_a | c_b | c_m
+        # first valid sub-step t* per step (first-hit also within a step)
+        frac_all = jnp.minimum(
+            jnp.minimum(jnp.where(c_a, fr_a, jnp.inf),
+                        jnp.where(c_b, fr_b, jnp.inf)),
+            jnp.where(c_m, fr_m, jnp.inf))
         hit = cross.any(axis=0)
         i0 = jnp.argmax(cross, axis=0)                               # (h,w)
-
-        # secant on the gathered coarse bracket f(t_i0) <= 0 < f(t_i0+1)
-        f0 = jnp.take_along_axis(f, i0[None], 0)[0]
-        f1 = jnp.take_along_axis(f, (i0 + 1)[None], 0)[0]
-        frac = jnp.where(jnp.abs(f1 - f0) > 1e-12, -f0 / (f1 - f0), 1.0)
+        frac = jnp.take_along_axis(
+            jnp.where(jnp.isfinite(frac_all), frac_all, 1.0), i0[None], 0)[0]
         t_lo = i0.astype(jnp.float32) * dt
-        t_hit = t_lo + jnp.clip(frac, 0.0, 1.0) * dt
+        t_hit = t_lo + frac * dt
 
     # fine-buffer correction: ONE batched gather taps the fine depth at both
     # bracket ends; a second secant runs purely on fine values.  The Pallas

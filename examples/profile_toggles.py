@@ -83,6 +83,15 @@ def main():
         ("gbuffer_no_aovs", mk(emit_aovs=False, **gbuf_off), None),
         ("full_no_aovs", mk(emit_aovs=False), None),
         ("gbuffer_fuse_off", mk(**gbuf_off), "fuseoff"),
+        # raster + binning in isolation (no interp/material/shading)
+        ("gbuffer_vis_only", mk(vis_only=True, **gbuf_off), None),
+        # raster-config knob deltas (each swaps the rasterizer config)
+        ("gbuffer_chunk16", mk(**gbuf_off), ("cfg", dict(chunk=16))),
+        ("gbuffer_subbins1", mk(**gbuf_off), ("cfg", dict(sub_bins=1))),
+        ("gbuffer_tile16", mk(**gbuf_off), ("cfg", dict(tile_h=16))),
+        ("gbuffer_cap512", mk(**gbuf_off), ("cfg", dict(bin_capacity=512))),
+        ("visonly_subbins1", mk(vis_only=True, **gbuf_off),
+         ("cfg", dict(sub_bins=1))),
     ]
     if args.only:
         names = set(args.only.split(","))
@@ -108,6 +117,10 @@ def main():
                 renderer_noibl = PBRRenderer(
                     PBRRendererCreateInfo(enable_ibl=False), raster_cfg=cfg)
             rdr = renderer_noibl
+        if isinstance(mode, tuple) and mode[0] == "cfg":
+            import dataclasses
+            cfg2 = dataclasses.replace(cfg, **mode[1])
+            rdr = PBRRenderer(PBRRendererCreateInfo(), raster_cfg=cfg2)
         if mode == "fuseoff":
             os.environ["DFX_FUSE"] = "off"
         tm = HnTaskManager(rdr, ci)

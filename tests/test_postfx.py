@@ -286,8 +286,14 @@ def test_march_pallas_matches_reference():
     from diligentfx_tpu.postfx.ssr import _march, build_min_depth_pyramid
     rng = np.random.default_rng(5)
     h, w = 16, 128
-    depth = jnp.asarray(
-        (0.3 + 0.5 * rng.random((h, w))).astype(np.float32))
+    # piecewise-smooth field (like a real depth buffer): per-texel noise
+    # makes the row-exact DDA and a 48-step sampling legitimately disagree
+    # on which noise spike a grazing ray clips first
+    raw = 0.3 + 0.5 * rng.random((h, w)).astype(np.float32)
+    k = np.ones((1, 8), np.float32) / 8.0
+    sm = np.apply_along_axis(lambda r: np.convolve(r, k[0], mode="same"),
+                             1, raw)
+    depth = jnp.asarray(sm.astype(np.float32))
     mips = build_min_depth_pyramid(depth, 3)
     o = np.zeros((h, w, 3), np.float32)
     o[..., 0] = rng.random((h, w))
@@ -312,12 +318,14 @@ def test_march_pallas_matches_reference():
 
     # cross-check against the fixed-step XLA march: different sampling of
     # the same crossing predicate — hit masks must broadly agree and hit
-    # positions must be close where both agree (one coarse cell).
+    # positions must be close where both agree (one coarse cell).  Both
+    # sides get the SAME table: the XLA path marches the finest mip it is
+    # given (r5: fine-buffer march), so hand it the coarse one the DDA uses.
     with mock.patch.object(pl, "pallas_call",
                            functools.partial(pl.pallas_call, interpret=True)):
-        uvz_p, hitm_p = _march(mips, o, d, 48, jnp.float32(0.05),
+        uvz_p, hitm_p = _march([coarse], o, d, 48, jnp.float32(0.05),
                                use_pallas=True)
-    uvz_x, hitm_x = _march(mips, o, d, 48, jnp.float32(0.05))
+    uvz_x, hitm_x = _march([coarse], o, d, 48, jnp.float32(0.05))
     hp, hx = np.asarray(hitm_p), np.asarray(hitm_x)
     agree = (hp == hx).mean()
     assert agree > 0.85, f"hit masks diverge: {agree:.2%}"
