@@ -80,6 +80,10 @@ class TaskManagerCreateInfo:
     ssao_num_steps: int = 6
     ssao_use_pallas: bool = False   # gather-free tap path (TPU only)
     ssr_use_pallas: bool = False    # VMEM-resident coarse march (TPU only)
+    # SSR interior passes (profiling/quality knobs; reference always runs
+    # spatial reconstruction + bilateral, ScreenSpaceReflection.hpp:145-154)
+    ssr_enable_spatial: bool = True
+    ssr_enable_bilateral: bool = True
     fast_env_taps: bool = False     # nearest-mip env + point LUT sampling
     dof_use_pallas: bool = False    # gather-free bokeh taps (TPU only)
     # Debug AOV output (HN_VIEW_MODE_* analogue, HnTypes.hpp:76+): when not
@@ -463,7 +467,9 @@ def _frame_fx(begin: FrameBegin, scene, state: FrameState, ibl_maps,
             state=state.ssr, motion=gb.motion,
             half_resolution=ci.ssr_half_resolution,
             resolution_divisor=ci.ssr_resolution_divisor,
-            disocclusion=disocclusion, use_pallas=ci.ssr_use_pallas)
+            disocclusion=disocclusion, use_pallas=ci.ssr_use_pallas,
+            enable_spatial=ci.ssr_enable_spatial,
+            enable_bilateral=ci.ssr_enable_bilateral)
 
     # ---- Composite (HnPostProcess.psh analogue) -------------------------------
     ao1 = ao[..., None]

@@ -342,7 +342,12 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
     n_hit = point_sample(normal_r, hit_uvz[..., :2])
     hit = hit & (jnp.sum(n_hit * r_dir, axis=-1) < -0.05)
 
-    refl = bilinear_sample(color, hit_uvz[..., :2])
+    # radiance at the hit: the reference's single linear tap
+    # (SSR_ComputeIntersection.fx) is 4 TPU gathers; the perf path takes the
+    # nearest texel (1 gather, ~-10 ms at div2) and lets the BRDF-weighted
+    # spatial reconstruction + temporal accumulation supply the filtering
+    refl = (point_sample if use_pallas else bilinear_sample)(
+        color, hit_uvz[..., :2])
     # fades: screen edge, ray facing camera, roughness
     edge = (saturate(10.0 * (0.5 - jnp.abs(hit_uvz[..., 0:1] - 0.5)))
             * saturate(10.0 * (0.5 - jnp.abs(hit_uvz[..., 1:2] - 0.5))))

@@ -90,8 +90,15 @@ def main():
         ("gbuffer_subbins1", mk(**gbuf_off), ("cfg", dict(sub_bins=1))),
         ("gbuffer_tile16", mk(**gbuf_off), ("cfg", dict(tile_h=16))),
         ("gbuffer_cap512", mk(**gbuf_off), ("cfg", dict(bin_capacity=512))),
+        ("gbuffer_cap256", mk(**gbuf_off), ("cfg", dict(bin_capacity=256))),
+        ("full_cap256", mk(), ("cfg", dict(bin_capacity=256))),
         ("visonly_subbins1", mk(vis_only=True, **gbuf_off),
          ("cfg", dict(sub_bins=1))),
+        # SSR interior attribution (march vs reconstruction vs cleanup)
+        ("ssr_no_spatial", mk(ssr_enable_spatial=False), None),
+        ("ssr_no_bilateral", mk(ssr_enable_bilateral=False), None),
+        ("ssr_lean", mk(ssr_enable_spatial=False,
+                        ssr_enable_bilateral=False), None),
     ]
     if args.only:
         names = set(args.only.split(","))
