@@ -76,15 +76,24 @@ def main():
     mat_tableT = _material_table(scene.materials).T
 
     def chained(fn, seed):
-        out = fn(seed)
-        jax.block_until_ready(out)
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        """fn: eps -> pytree; wraps it so the chain scalar is produced
+        INSIDE one jit program per iteration (NO eager ops between calls —
+        each eager op is a remote dispatch on axon)."""
+        @jax.jit
+        def step(eps):
+            out = fn(eps)
+            leaves = jax.tree.leaves(out)
+            # FULL sums: a [:1] slice would let XLA dead-code-eliminate the
+            # per-triangle work behind elementwise stages
+            nxt = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+            return nxt * 1e-12
+        cur = step(seed)
+        jax.block_until_ready(cur)
+        np.asarray(cur)
         t0 = time.perf_counter()
-        cur = seed
         for _ in range(args.iters):
-            out = fn(cur)
-            cur = jax.tree.leaves(out)[0].ravel()[0] * 1e-12
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+            cur = step(cur)
+        np.asarray(cur)
         return (time.perf_counter() - t0) / args.iters * 1000.0
 
     if "fused" in stages:
