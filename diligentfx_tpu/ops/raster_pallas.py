@@ -116,6 +116,7 @@ def _gather_table_cols(table_ref, row: int, slot: Array, cap_pad: int,
 
 def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
                        mattab_ref, z_ref, id_ref, out_ref, slot_scr,
+                       vals_scr,
                        *, th: int, tw: int, cap: int, cap_pad: int, chunk: int,
                        depth_sign: float, depth_clear: float,
                        n_ch: int, n_const: int, deriv_channels: tuple,
@@ -175,18 +176,27 @@ def _fused_tile_kernel(counts_ref, tiles_x_ref, setup_ref, planesT_ref,
 
     jax.lax.fori_loop(0, pl.cdiv(count, chunk), body, 0)
 
+    seg_used = [jnp.int32(s * 128) < count for s in range(cap_pad // 128)]
     _fused_epilogue(planesT_ref, mattab_ref, z_ref, id_ref, out_ref,
-                    slot_scr, px, py, th=th, tw=tw, cap_pad=cap_pad,
+                    slot_scr, vals_scr, px, py, th=th, tw=tw, cap_pad=cap_pad,
                     depth_sign=depth_sign, n_ch=n_ch, n_const=n_const,
                     deriv_channels=deriv_channels, n_mrow=n_mrow,
-                    m_pad=m_pad, transpose_in_kernel=transpose_in_kernel)
+                    m_pad=m_pad, transpose_in_kernel=transpose_in_kernel,
+                    seg_used=seg_used)
 
 
 def _fused_epilogue(planesT_ref, mattab_ref, z_ref, id_ref, out_ref,
-                    slot_scr, px, py, *, th, tw, cap_pad, depth_sign,
-                    n_ch, n_const, deriv_channels, n_mrow, m_pad,
-                    transpose_in_kernel):
-    """Tile-local interpolation + material fetch over the winning slots."""
+                    slot_scr, vals_scr, px, py, *, th, tw, cap_pad,
+                    depth_sign, n_ch, n_const, deriv_channels, n_mrow,
+                    m_pad, transpose_in_kernel, seg_used=None):
+    """Tile-local interpolation + material fetch over the winning slots.
+
+    The per-winner plane values are gathered SEGMENT-major into `vals_scr`
+    ((n_rows, th, tw) VMEM scratch): each 128-slot segment computes its
+    lane index + membership mask ONCE for all plane rows (the old per-value
+    sweep recomputed them ~33x), and `seg_used[s]` (scalar, derived from the
+    bin counts) skips segments no candidate occupies — typical bench tiles
+    fill ~50 of each sub-bin's 256 slots, so half the sweep is dead work."""
     slot = slot_scr[...]
     pt = planesT_ref[0]
     if transpose_in_kernel:
@@ -197,8 +207,25 @@ def _fused_epilogue(planesT_ref, mattab_ref, z_ref, id_ref, out_ref,
         # double-transpose (ADVICE r2).
         pt = pt.T
 
+    n_rows = vals_scr.shape[0]
+    for r in range(n_rows):
+        vals_scr[r] = jnp.zeros((th, tw), jnp.float32)
+    for s in range(cap_pad // 128):
+        def seg_body(s=s):
+            seg = pt[:, s * 128:(s + 1) * 128]              # (p_pad, 128)
+            loc = jnp.clip(slot - s * 128, 0, 127)
+            m = (slot >= s * 128) & (slot < (s + 1) * 128)
+            for r in range(n_rows):
+                seg2 = jnp.broadcast_to(seg[r][None, :], (th, tw))
+                g = jnp.take_along_axis(seg2, loc, axis=1)
+                vals_scr[r] = jnp.where(m, g, vals_scr[r])
+        if seg_used is None:
+            seg_body()
+        else:
+            pl.when(seg_used[s])(seg_body)
+
     def val_at(v):
-        return _gather_table_cols(pt, v, slot, cap_pad, th, tw)
+        return vals_scr[v]
 
     d_a, d_b, d_c = val_at(0), val_at(1), val_at(2)
     den = d_a * px + d_b * py + d_c
@@ -233,7 +260,7 @@ def _fused_epilogue(planesT_ref, mattab_ref, z_ref, id_ref, out_ref,
 
 def _fused_tile_kernel_sub(counts_ref,  # (num_tiles*(sub+1),) prefetch, flat
                            tiles_x_ref, setup_ref, planesT_ref, mattab_ref,
-                           z_ref, id_ref, out_ref, slot_scr,
+                           z_ref, id_ref, out_ref, slot_scr, vals_scr,
                            *, th: int, tw: int, sub: int, cap_sub: int,
                            big_cap: int, cap_pad: int, chunk: int,
                            depth_sign: float, depth_clear: float,
@@ -298,18 +325,31 @@ def _fused_tile_kernel_sub(counts_ref,  # (num_tiles*(sub+1),) prefetch, flat
 
         jax.lax.fori_loop(0, pl.cdiv(count, chunk), body, 0)
 
+    band_cnts = []
     for j in range(sub):
         cnt = jnp.minimum(counts_ref[t * (sub + 1) + j], cap_sub)
+        band_cnts.append((j * cap_sub, cnt))
         pxs, pys = seg_coords(j * sbh, sbh)
         seg_loop(j * cap_sub, cnt, pxs, pys, j * sbh, sbh)
     cnt_b = jnp.minimum(counts_ref[t * (sub + 1) + sub], big_cap)
+    band_cnts.append((sub * cap_sub, cnt_b))
     seg_loop(sub * cap_sub, cnt_b, px, py, 0, th)
 
+    # a 128-slot segment is live iff some band's occupied prefix overlaps it
+    seg_used = []
+    for s in range(cap_pad // 128):
+        live = None
+        for start, cnt in band_cnts:
+            hit = ((jnp.int32(start) < jnp.int32((s + 1) * 128))
+                   & (jnp.int32(start) + cnt > jnp.int32(s * 128)))
+            live = hit if live is None else (live | hit)
+        seg_used.append(live)
     _fused_epilogue(planesT_ref, mattab_ref, z_ref, id_ref, out_ref,
-                    slot_scr, px, py, th=th, tw=tw, cap_pad=cap_pad,
+                    slot_scr, vals_scr, px, py, th=th, tw=tw, cap_pad=cap_pad,
                     depth_sign=depth_sign, n_ch=n_ch, n_const=n_const,
                     deriv_channels=deriv_channels, n_mrow=n_mrow,
-                    m_pad=m_pad, transpose_in_kernel=transpose_in_kernel)
+                    m_pad=m_pad, transpose_in_kernel=transpose_in_kernel,
+                    seg_used=seg_used)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -418,7 +458,8 @@ def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
                          lambda i, *_: (0, i // tiles_x, i % tiles_x),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((th, tw), jnp.int32),
+                        pltpu.VMEM((planes.shape[1], th, tw), jnp.float32)],
     )
     tiles_y = num_tiles // tiles_x
     z, tid, out = pl.pallas_call(

@@ -70,9 +70,14 @@ def _material_table(mats) -> Array:
 
 
 def _vertex_inputs(scene: ScenePrimitives, info: RenderInfo,
-                   use_textures: bool):
+                   use_textures: bool, include_pos: bool = True):
     """Per-vertex data shared by the fused and two-pass deferred paths:
-    (clip, winv, packed attrs (V, C), n_ch)."""
+    (clip, winv, packed attrs (V, C), n_ch).
+
+    include_pos=False drops the world-position channels from the packing —
+    the fused path reconstructs position from depth instead (3 fewer
+    channels = 9 fewer plane rows in the kernel epilogue's per-winner
+    gather, the raster block's hot loop)."""
     world_pos, world_nrm, _ = transform_vertices(scene, info.model_transform)
     clip = m3.transform_points(world_pos, info.camera.view_proj)
     winv = jnp.where(jnp.abs(clip[:, 3]) > 1e-12, 1.0 / clip[:, 3], 0.0)
@@ -88,7 +93,7 @@ def _vertex_inputs(scene: ScenePrimitives, info: RenderInfo,
     # perspective-correct interpolation of them is exact
     prev_cxyw = jnp.stack([prev_clip[:, 0], prev_clip[:, 1],
                            prev_clip[:, 3]], axis=-1)
-    attrs_list = [world_pos, world_nrm, prev_cxyw]
+    attrs_list = ([world_pos] if include_pos else []) + [world_nrm, prev_cxyw]
     if use_textures:
         # transform tangents like normals (rigid/uniform assumption)
         vm3 = scene.node_matrices[scene.vertex_node][:, :3, :3]
@@ -182,6 +187,14 @@ def _fuse_ok(scene: ScenePrimitives, fuse: str, use_textures: bool) -> bool:
             and (use_textures or scene.materials_anisotropy is None))
 
 
+def _recon_pos() -> bool:
+    """Whether the fused path reconstructs world position from depth
+    instead of interpolating it (DFX_RECON=off restores interpolation for
+    A/B measurement)."""
+    import os
+    return os.environ.get("DFX_RECON", "on") != "off"
+
+
 def _fused_raster(scene: ScenePrimitives, info: RenderInfo, n_op: int, *,
                   pad_w: int, pad_h: int, cfg: RasterizerConfig,
                   use_textures: bool, screen_size=None,
@@ -189,13 +202,16 @@ def _fused_raster(scene: ScenePrimitives, info: RenderInfo, n_op: int, *,
     """Raster + in-kernel attribute interpolation + material fetch
     (rasterize_fused).  Returns (vb, fused channels (C, H, W) channel-FIRST,
     clip, winv)."""
-    clip, winv, packed, n_ch = _vertex_inputs(scene, info, use_textures)
+    include_pos = not _recon_pos()
+    clip, winv, packed, n_ch = _vertex_inputs(scene, info, use_textures,
+                                              include_pos=include_pos)
     tri_node = scene.vertex_node[scene.indices[:n_op, 0]]
     consts = jnp.stack([scene.tri_material[:n_op].astype(jnp.float32),
                         tri_node.astype(jnp.float32)], axis=-1)
     mat_tableT = _material_table(scene.materials).T         # (20, M)
-    # uv channels are 9,10 in the textured packing (pos3+nrm3+prevclip3)
-    deriv = (9, 10) if use_textures else ()
+    # uv channels follow (pos3 if interpolated) + nrm3 + prevclip3
+    uv0 = (9 if include_pos else 6)
+    deriv = (uv0, uv0 + 1) if use_textures else ()
     vb, out, _stats = rz.rasterize_fused(
         clip, scene.indices[:n_op], packed, winv, consts, mat_tableT,
         width=pad_w, height=pad_h, cfg=cfg, n_ch=n_ch,
@@ -236,7 +252,9 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
             fused_px = jax.lax.dynamic_slice(
                 fused_px, (0, r0, 0), (fused_px.shape[0], band_h, pad_w))
 
-    n_ch = 15 if use_textures else 9
+    recon = fused_px is not None and _recon_pos()
+    base_ch = 6 if recon else 9          # (pos3 if interpolated) + nrm3 + prev3
+    n_ch = (base_ch + 6) if use_textures else base_ch
     duv_dx = duv_dy = None
     if fused_px is not None:
         # fused_px is channel-FIRST (C, band_h, pad_w) — the kernel writes
@@ -285,17 +303,28 @@ def _shade_band(scene: ScenePrimitives, info: RenderInfo, ibl_maps, env_oct,
         def mgrp(a, b):
             return mrow[..., a:b]
 
-    pos_px = grp(0, 3)
-    nrm_px = m3.normalize(grp(3, 6))
-    pw = grp(8, 9)
+    ao = 0 if recon else 3                # channel offset of the normal
+    if recon:
+        # world position reconstructed from raster depth (deferred classic):
+        # drops 3 interpolated channels = 9 plane rows from the kernel
+        # epilogue's per-winner gather.  view_proj_inv is the exact inverse
+        # of the rasterization transform (jitter included).
+        from diligentfx_tpu.postfx.context import reconstruct_world_pos
+        pos_px = reconstruct_world_pos(vb.depth, info.camera,
+                                       row0=r0, full_h=pad_h)
+        pos_px = jnp.where((vb.tri_id >= 0)[..., None], pos_px, 0.0)
+    else:
+        pos_px = grp(0, 3)
+    nrm_px = m3.normalize(grp(ao, ao + 3))
+    pw = grp(ao + 5, ao + 6)
     pw = jnp.where(jnp.abs(pw) > 1e-9, pw, 1e-9)
-    prev_ndc_px = grp(6, 8) / pw
+    prev_ndc_px = grp(ao + 3, ao + 5) / pw
     prev_uv_px = jnp.stack([prev_ndc_px[..., 0] * 0.5 + 0.5,
                             0.5 - prev_ndc_px[..., 1] * 0.5], axis=-1)
     if use_textures:
-        uv_px = grp(9, 11)
-        tan_px = grp(11, 14)
-        tan_sign = grp(14, 15)
+        uv_px = grp(ao + 6, ao + 8)
+        tan_px = grp(ao + 8, ao + 11)
+        tan_sign = grp(ao + 11, ao + 12)
 
     hit = vb.tri_id >= 0
     xg = (jax.lax.broadcasted_iota(jnp.float32, (band_h, pad_w), 1) + 0.5) / pad_w

@@ -114,11 +114,17 @@ def depth_to_camera_z(depth: Array, camera: CameraAttribs,
     return n * f / jnp.maximum(f - d * (f - n), 1e-12)
 
 
-def reconstruct_world_pos(depth: Array, camera: CameraAttribs) -> Array:
-    """Per-pixel world position from NDC depth (ScreenXYDepthToWorld)."""
+def reconstruct_world_pos(depth: Array, camera: CameraAttribs,
+                          row0=0, full_h: int = 0) -> Array:
+    """Per-pixel world position from NDC depth (ScreenXYDepthToWorld).
+    Exact inverse of the rasterization transform (view_proj_inv — jitter and
+    proj asymmetries included).  row0/full_h support row bands (the local
+    rows [0, h) are global rows [row0, row0+h) of a full_h frame)."""
     h, w = depth.shape
+    fh = full_h or h
     x = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5) / w * 2.0 - 1.0
-    y = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5) / h * 2.0
+    y = 1.0 - (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+               + jnp.float32(row0) + 0.5) / fh * 2.0
     ndc = jnp.stack([x, y, depth, jnp.ones_like(depth)], axis=-1)
     world = jnp.einsum("hwi,ij->hwj", ndc, camera.view_proj_inv,
                        precision=jax.lax.Precision.HIGHEST)

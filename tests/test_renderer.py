@@ -168,12 +168,16 @@ def test_banded_gbuffer_matches_monolithic(renderer, scene, frame_info):
 def test_fused_gbuffer_matches_two_pass(renderer, scene, frame_info,
                                         monkeypatch):
     """The fused raster+interpolate+material kernel (rasterize_fused) must
-    produce the same G-buffer as the two-pass gather path."""
+    produce the same G-buffer as the two-pass gather path.  DFX_RECON=off
+    keeps position INTERPOLATED for exactness — the default
+    depth-reconstruction path trades mm-scale position error for 9 fewer
+    epilogue plane rows (bounded by the test below)."""
     import functools
     from jax.experimental import pallas as pl
     from diligentfx_tpu.pbr.deferred import render_gbuffer
     monkeypatch.setattr(pl, "pallas_call",
                         functools.partial(pl.pallas_call, interpret=True))
+    monkeypatch.setenv("DFX_RECON", "off")
     a = render_gbuffer(scene, frame_info, renderer.ibl_maps, renderer.env_oct,
                        width=W, height=H, cfg=CFG, fuse="off")
     b = render_gbuffer(scene, frame_info, renderer.ibl_maps, renderer.env_oct,
@@ -188,6 +192,39 @@ def test_fused_gbuffer_matches_two_pass(renderer, scene, frame_info,
         else:
             np.testing.assert_allclose(av, bv, atol=5e-4, rtol=5e-4,
                                        err_msg=name)
+
+
+def test_recon_world_pos_accuracy(renderer, scene, frame_info, monkeypatch):
+    """Depth-reconstructed world position (the fused default) vs the
+    interpolated truth: the error budget is set by f32 NDC-depth ulps
+    amplified by d(z_cam)/d(z_ndc) = z^2 (f-n)/(nf) — assert a per-pixel
+    bound of 256 depth-ulps through that amplification plus a 1e-3 floor,
+    and that shading-visible products stay tight."""
+    import functools
+    from jax.experimental import pallas as pl
+    from diligentfx_tpu.pbr.deferred import render_gbuffer
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    monkeypatch.setenv("DFX_RECON", "off")
+    a = render_gbuffer(scene, frame_info, renderer.ibl_maps, renderer.env_oct,
+                       width=W, height=H, cfg=CFG, fuse="on")
+    monkeypatch.setenv("DFX_RECON", "on")
+    b = render_gbuffer(scene, frame_info, renderer.ibl_maps, renderer.env_oct,
+                       width=W, height=H, cfg=CFG, fuse="on")
+    hit = np.asarray(a.hit)
+    cam = frame_info.camera
+    n, f = float(cam.near_z), float(cam.far_z)
+    d = np.asarray(a.depth)
+    z_cam = n * f / np.maximum(f - d * (f - n), 1e-9)
+    amp = z_cam * z_cam * (f - n) / (n * f)
+    bound = 256.0 * np.spacing(np.maximum(d, 0.5).astype(np.float32)) * amp + 1e-3
+    err = np.abs(np.asarray(b.world_pos) - np.asarray(a.world_pos)).max(-1)
+    assert (err[hit] <= bound[hit]).mean() > 0.999, (
+        err[hit].max(), bound[hit].min())
+    # lighting products must be visually identical
+    for name in ("direct", "ambient_diffuse", "ambient_specular"):
+        av, bv = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        assert np.abs(av - bv).max() < 2e-2, name
 
 
 def test_forward_fused_matches_two_pass(renderer, scene, frame_info,
