@@ -94,6 +94,9 @@ class TaskManagerCreateInfo:
     epipolar_slices: int = 256
     epipolar_samples: int = 128
     epipolar_march_steps: int = 24
+    # round-4 quality/perf features (default-off; measured in PERF_NOTES r5)
+    epipolar_use_minmax_tree: bool = False
+    epipolar_refinement_factor: int = 1
     # Auto-exposure (average-log-luminance measurement + temporal adaptation,
     # the UpdateAverageLuminance analogue)
     enable_auto_exposure: bool = False
@@ -567,7 +570,9 @@ def _frame_fx(begin: FrameBegin, scene, state: FrameState, ibl_maps,
             shadow_data = (info.shadow_attribs, info.shadow_maps)
         eps = EpipolarSettings(num_epipolar_slices=ci.epipolar_slices,
                                max_samples_in_slice=ci.epipolar_samples,
-                               num_ray_march_steps=ci.epipolar_march_steps)
+                               num_ray_march_steps=ci.epipolar_march_steps,
+                               use_minmax_tree=ci.epipolar_use_minmax_tree,
+                               refinement_factor=ci.epipolar_refinement_factor)
         od_lut, ms_lut = atmosphere_lut
         scat = apply_light_scattering(color, gb.depth, info.camera, sun_dir,
                                       od_lut, eps,
