@@ -740,6 +740,25 @@ def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
     tiles_x = width // cfg.tile_w
     tiles_y = height // cfg.tile_h
     n_const = (0 if tri_consts is None else tri_consts.shape[1]) + 1
+    if os.environ.get("DFX_VIS_STAGE") == "bin":
+        # profiling bisect (fresh process per setting): stop after triangle
+        # setup + binning — downstream kernel/prep DCEs away, the checksum
+        # keeps the binning+setup graph alive.  Frame output is garbage.
+        chk = (jnp.sum(counts.astype(jnp.float32))
+               + jnp.sum(compact.astype(jnp.float32)) * 1e-9
+               + jnp.sum(setup) * 1e-12 + jnp.sum(planes) * 1e-12)
+        out_ch = (n_ch + 2 * len(deriv_channels) + (n_const - 1)
+                  + (mat_table.shape[0] if mat_table is not None else 0))
+        z = jnp.broadcast_to(chk * 1e-20 + 0.5, (height, width))
+        tid = jnp.broadcast_to((chk * 0).astype(jnp.int32) - 1,
+                               (height, width))
+        out = jnp.broadcast_to(chk * 1e-20, (out_ch, height, width))
+        vb = VisibilityBuffer(depth=z, tri_id=tid,
+                              bary=jnp.zeros((height, width, 2), jnp.float32))
+        stats = RasterStats(max_bin_count=max_count, bin_overflow=overflow,
+                            big_overflow=big_overflow,
+                            num_culled=jnp.sum((~valid).astype(jnp.int32)))
+        return vb, out, stats
     fn = raster_tiles_fused_pallas
     if interpret:
         import jax.experimental.pallas as _pl

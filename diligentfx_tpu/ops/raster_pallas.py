@@ -409,6 +409,19 @@ def raster_tiles_fused_pallas(setup: Array, planes: Array, candidates: Array,
         n_mrow, m_pad = 0, 128
         mattab = jnp.zeros((8, m_pad), jnp.float32)
 
+    import os
+    if os.environ.get("DFX_VIS_STAGE") == "prep":
+        # profiling bisect: binning + the kernel-input gathers, no kernel.
+        # (env read at trace time — use a fresh process per setting)
+        chk = (jnp.sum(g_setup) * 1e-12 + jnp.sum(g_planes) * 1e-12
+               + jnp.sum(counts.astype(jnp.float32)))
+        out_ch2 = n_ch + 2 * len(deriv_channels) + (n_const - 1) + n_mrow
+        tiles_y2 = num_tiles // tiles_x
+        hh, ww = tiles_y2 * th, tiles_x * tw
+        return (jnp.broadcast_to(chk * 1e-20 + 0.5, (hh, ww)),
+                jnp.broadcast_to((chk * 0).astype(jnp.int32) - 1, (hh, ww)),
+                jnp.broadcast_to(chk * 1e-20, (out_ch2, hh, ww)))
+
     # the last const is the tri id consumed in-kernel, not emitted
     out_ch = n_ch + 2 * len(deriv_channels) + (n_const - 1) + n_mrow
     depth_clear = jnp.inf if depth_less else -jnp.inf
