@@ -397,6 +397,18 @@ def _bin_triangles(valid: Array, bbox: Array, width: int, height: int,
     return candidates, compact, counts_total, max_count, overflow, big_overflow
 
 
+def _fabricate_bins(chk, num_tiles, sub, cap_sub, cfg):
+    """Shape-compatible dummy _bin_triangles_sub outputs built from a traced
+    checksum (profiling DFX_BIN_CUT path — keeps the prefix alive, lets XLA
+    DCE the suffix)."""
+    big_cap = cfg.big_tile_capacity or cfg.big_tri_capacity
+    big_cap = -(-big_cap // cfg.chunk) * cfg.chunk
+    ichk = (chk * 0.0).astype(jnp.int32)
+    cand = jnp.broadcast_to(ichk - 1, (num_tiles, sub * cap_sub + big_cap))
+    seg_counts = jnp.broadcast_to(ichk, (num_tiles, sub + 1))
+    return cand, seg_counts, ichk, ichk, ichk
+
+
 def _bin_triangles_sub(valid: Array, bbox: Array, width: int, height: int,
                        cfg: RasterizerConfig):
     """Sub-bin binning for the fused Pallas kernel (cfg.sub_bins > 1 or
@@ -462,11 +474,26 @@ def _bin_triangles_sub(valid: Array, bbox: Array, width: int, height: int,
     pos = jnp.where(pair_valid, pos, oob).reshape(-1)
     sentinel = jnp.int32(num_bins << tri_bits)
     packed = (pair_bin << tri_bits) | pair_tri
+    # profiling bisect (DFX_BIN_CUT, fresh process per setting): truncate the
+    # binning pipeline after {pairs, scatter, sort} and fabricate the rest —
+    # the in-frame delta between settings attributes the stage costs.
+    import os
+    _cut = os.environ.get("DFX_BIN_CUT", "")
+    if _cut == "pairs":
+        chk = (jnp.sum(packed.astype(jnp.float32)) * 1e-9
+               + jnp.sum(pos.astype(jnp.float32)) * 1e-9)
+        return _fabricate_bins(chk, num_tiles, sub, cap_sub, cfg)
     buf = jnp.full((cap,), sentinel, jnp.int32)
     buf = buf.at[pos].set(packed.reshape(-1), mode="drop", unique_indices=True)
+    if _cut == "scatter":
+        chk = jnp.sum(buf.astype(jnp.float32)) * 1e-9
+        return _fabricate_bins(chk, num_tiles, sub, cap_sub, cfg)
     packed = jnp.sort(buf)
     sorted_bin = packed >> tri_bits
     sorted_tri = packed & ((1 << tri_bits) - 1)
+    if _cut == "sort":
+        chk = jnp.sum(sorted_tri.astype(jnp.float32)) * 1e-9
+        return _fabricate_bins(chk, num_tiles, sub, cap_sub, cfg)
     counts = jax.ops.segment_sum(
         jnp.ones_like(sorted_bin), sorted_bin,
         num_segments=num_bins + 1).astype(jnp.int32)[:num_bins]

@@ -116,6 +116,26 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
     every tap stays within the exchanged rows."""
     h, w = depth.shape
     fh = full_h or h
+    import os
+    if (use_pallas and row0 == 0 and max_tap_px is None
+            and os.environ.get("DFX_GTAO_FUSED", "1") != "0"):
+        # ONE fused kernel: window DMA + all horizon taps + the arc integral
+        # in-register (ops/gtao_pallas.py) instead of slices*2*steps separate
+        # windowed-warp launches — same mip-0 taps, same (±63, ±15) clamps.
+        from diligentfx_tpu.ops.gtao_pallas import gtao_pallas
+        radius = settings.effect_radius * settings.radius_multiplier
+        scalars = jnp.stack([
+            jnp.asarray(frame_index, jnp.float32),
+            jnp.asarray(radius, jnp.float32),
+            jnp.asarray(radius * (1.0 - settings.effect_falloff_range),
+                        jnp.float32),
+            jnp.asarray(settings.effect_falloff_range * radius, jnp.float32),
+            camera.proj[0, 0], camera.proj[1, 1],
+            jnp.asarray(camera.near_z, jnp.float32),
+            jnp.asarray(camera.far_z, jnp.float32)])
+        return gtao_pallas(depth, normal_vs, scalars,
+                           num_slices=num_slices, num_steps=num_steps,
+                           fh_log=fh, w_log=w)
     pos = view_space_position(depth, camera, row0=row0, full_h=fh)
     view_z = -pos[..., 2]
     v = normalize(-pos)                                      # to camera
@@ -233,8 +253,15 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
                 cos_h = cos_h * weight - (1.0 - weight)
                 best_cos[side] = jnp.maximum(best_cos[side], cos_h)
 
-        h0 = -jnp.arccos(jnp.clip(best_cos[0], -1.0, 1.0))
-        h1 = jnp.arccos(jnp.clip(best_cos[1], -1.0, 1.0))
+        # side 0 marches +dir_px (screen) = +ortho (view; the y flip in
+        # dir_px cancels the screen/view y flip), so side 0's horizon is the
+        # POSITIVE angle h1 under n_angle's sign(n_proj . ortho) convention.
+        # With the sides matched, both hemisphere clamps land exactly on the
+        # true tangent-plane horizons (n ± π/2) for unoccluded geometry —
+        # swapped, grazing-view flat surfaces lost ~0.35 visibility
+        # (round-5 fix; XeGTAO ComputeAO side/angle pairing).
+        h0 = -jnp.arccos(jnp.clip(best_cos[1], -1.0, 1.0))
+        h1 = jnp.arccos(jnp.clip(best_cos[0], -1.0, 1.0))
         # clamp horizons to the normal hemisphere
         h0 = n_angle + jnp.maximum(h0 - n_angle, -PI / 2)
         h1 = n_angle + jnp.minimum(h1 - n_angle, PI / 2)

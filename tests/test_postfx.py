@@ -342,8 +342,16 @@ def test_ssao_convolved_depth_history_rejects_on_depth_change():
     from diligentfx_tpu.postfx.ssao import SSAOState, apply_ssao
     cam = make_camera()
     normal = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (H, W, 3))
-    d1 = jnp.full((H, W), depth_of_plane_at(5.0, cam), jnp.float32)
-    d2 = jnp.full((H, W), depth_of_plane_at(2.0, cam), jnp.float32)
+    # bumpy depth: mid-range AO with real spatial variance, so the ±2σ
+    # history clamp leaves room for the poisoned history to matter (a flat
+    # plane's AO is ~1.0 with ~zero variance after the round-5 GTAO
+    # side/angle fix — the clamp would pin both results to ~1 and the
+    # ordering below would sit inside float noise)
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    bump = 0.02 * jnp.sin(yy * 0.9) * jnp.cos(xx * 0.7)
+    d1 = jnp.clip(depth_of_plane_at(5.0, cam) + bump, 0.01, 0.99)
+    d2 = jnp.clip(depth_of_plane_at(2.0, cam) + bump, 0.01, 0.99)
     motion = jnp.zeros((H, W, 2))
     _, st = apply_ssao(d1, normal, cam, 0, half_resolution=False)
     assert st.depth_history is not None
@@ -355,8 +363,9 @@ def test_ssao_convolved_depth_history_rejects_on_depth_change():
                             half_resolution=False)
     c = (H // 2, W // 2)
     # depth_history round-trips as the convolved current depth
+    from diligentfx_tpu.postfx.ssao import convolved_depth
     np.testing.assert_allclose(float(st.depth_history[c]),
-                               float(d1[c]), rtol=1e-5)
+                               float(convolved_depth(d1)[c]), rtol=1e-5)
     # changed depth rejects MORE history than same depth (the variance
     # clamp already bounds the poisoned history, so the residual is small
     # but must be strictly ordered)
