@@ -75,16 +75,26 @@ def clip_to_screen(clip: Array, width: int, height: int) -> Tuple[Array, Array, 
     return jnp.stack([sx, sy], axis=-1), ndc[..., 2], winv
 
 
-def _clip_near_plane(clip: Array, indices: Array, eps: float):
-    """Near-plane (w = eps) polygon clipping with a fixed 2x expansion.
+def _clip_near_plane(clip: Array, indices: Array, eps: float,
+                     clip_cap: Optional[int] = None):
+    """Near-plane (w = eps) polygon clipping with a COMPACTED expansion.
 
     Each input triangle yields up to two raster primitives (sub-triangles of
     its visible region).  Every sub-triangle corner carries its barycentric
     coordinates *in the original triangle*, so downstream attribute
     interpolation is unaffected by clipping.
 
-    Returns (verts (2T, 3, 4) clip positions with w >= eps,
-             corner_bary (2T, 3, 3), alive (2T,), orig_id (2T,) int32).
+    Only triangles actually crossing the near plane with two vertices inside
+    produce a second sub-triangle — ~0 per frame in typical scenes — so the
+    second slots are compacted into a small static overflow region instead of
+    doubling every downstream array (setup, pair expansion, binning scatter
+    and sort all scale with the primitive count; the old fixed 2x expansion
+    was ~44% of the binning block's input for zero useful work).
+
+    Returns (verts (T+C, 3, 4) clip positions with w >= eps,
+             corner_bary (T+C, 3, 3), alive (T+C,), orig_id (T+C,) int32,
+             clip_overflow () int32 — second sub-triangles dropped because
+             more than C triangles straddled the near plane).
     """
     t = indices.shape[0]
     c = clip[indices]                                       # (T, 3, 4)
@@ -130,16 +140,27 @@ def _clip_near_plane(clip: Array, indices: Array, eps: float):
     slot1_b = jnp.stack([ba, s1_b1, s1_b2], axis=1)
     slot1_alive = n_in > 0
 
-    # slot 2: TWO → (A, I_BC, I_AC)
+    # slot 2: TWO → (A, I_BC, I_AC), compacted into the overflow region
     slot2_v = jnp.stack([a, i_bc, i_ac], axis=1)
     slot2_b = jnp.stack([ba, b_bc, b_ac], axis=1)
     slot2_alive = n_in == 2
 
-    verts = jnp.concatenate([slot1_v, slot2_v], axis=0)      # (2T, 3, 4)
-    barys = jnp.concatenate([slot1_b, slot2_b], axis=0)
-    alive = jnp.concatenate([slot1_alive, slot2_alive], axis=0)
-    orig = jnp.tile(jnp.arange(t, dtype=jnp.int32), 2)
-    return verts, barys, alive, orig
+    cap = clip_cap if clip_cap is not None else min(max(64, t // 8), t)
+    rank = jnp.cumsum(slot2_alive.astype(jnp.int32)) - 1
+    slot = jnp.where(slot2_alive & (rank < cap), rank, cap)
+    src = jnp.full((cap + 1,), -1, jnp.int32).at[slot].set(
+        jnp.arange(t, dtype=jnp.int32), mode="drop",
+        unique_indices=True)[:cap]
+    ok = src >= 0
+    srcc = jnp.maximum(src, 0)
+
+    verts = jnp.concatenate([slot1_v, slot2_v[srcc]], axis=0)  # (T+C, 3, 4)
+    barys = jnp.concatenate([slot1_b, slot2_b[srcc]], axis=0)
+    alive = jnp.concatenate([slot1_alive, ok], axis=0)
+    orig = jnp.concatenate([jnp.arange(t, dtype=jnp.int32), srcc], axis=0)
+    n2 = jnp.sum(slot2_alive.astype(jnp.int32))
+    clip_ovf = jnp.maximum(n2 - cap, 0)
+    return verts, barys, alive, orig, clip_ovf
 
 
 def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
@@ -158,11 +179,16 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
     primitive attribute planes for the fused kernel: perspective-correct
     interpolation is N_c(x,y)/D(x,y) with N_c, D affine per triangle
     (N_c = Σ λs_j a_j w⁻¹_j, D = Σ λs_j w⁻¹_j; λs affine in screen space),
-    laid out [D(3), (A,B,C) per channel, tri_consts (K)] → (2T, 3*(C+1)+K).
+    laid out [D(3), (A,B,C) per channel, tri_consts (K)] → (P, 3*(C+1)+K),
+    P = T + clip-overflow capacity (see _clip_near_plane).
 
-    Returns (setup (2T, 16) — see _SETUP_DIM, valid (2T,),
-             bbox (2T, 4) [xmin,ymin,xmax,ymax], orig_id (2T,)[, planes])."""
-    verts, barys, alive, orig = _clip_near_plane(clip, indices, near_eps)
+    Returns (setup (P, 16) — see _SETUP_DIM, valid (P,),
+             bbox (P, 4) [xmin,ymin,xmax,ymax], orig_id (P,)[, planes],
+             clip_ovf ())."""
+    verts, barys, alive, orig, clip_ovf = _clip_near_plane(
+        clip, indices, near_eps)
+    t_in = indices.shape[0]
+    orig2 = orig[t_in:]                   # overflow rows' original tri ids
     full_w, full_h = screen_size if screen_size is not None else (width, height)
     off_x, off_y = screen_offset
 
@@ -189,8 +215,8 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
     if double_sided is None:
         ds = jnp.zeros_like(front)
     else:
-        ds2 = jnp.broadcast_to(jnp.asarray(double_sided, bool), (orig.shape[0] // 2,))
-        ds = jnp.tile(ds2, 2)
+        ds2 = jnp.broadcast_to(jnp.asarray(double_sided, bool), (t_in,))
+        ds = jnp.concatenate([ds2, ds2[orig2]])
 
     nondegenerate = jnp.abs(d) > 1e-12
     valid = alive & nondegenerate & (front | ds)
@@ -219,7 +245,8 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
     # sub-corner's clip position is exactly Σ bary[k,m] * orig_vert_m, the
     # perspective-correct screen bary at corner k is
     #   λs_j = bary[k, j] * w_j / w_corner.
-    ow = jnp.tile(clip[indices][:, :, 3], (2, 1))            # (2T, 3) orig w
+    w_orig = clip[indices][:, :, 3]                          # (T, 3)
+    ow = jnp.concatenate([w_orig, w_orig[orig2]], axis=0)    # (P, 3) orig w
     num = barys * ow[:, None, :]                             # (2T, 3corner, 3j)
     lam_s = num / jnp.maximum(w[..., None], 1e-12)           # (2T, 3corner, 3j)
 
@@ -250,13 +277,13 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
     bbox = jnp.stack([xmin - fox, ymin - foy, xmax - fox, ymax - foy],
                      axis=-1)
     if attrs is None:
-        return setup, valid, bbox, orig
+        return setup, valid, bbox, orig, clip_ovf
 
     # ---- attribute planes for the fused raster+shade kernel ---------------
     aw = attrs * winv_vert[:, None]                          # (V, C)
     corner = jnp.concatenate(
         [winv_vert[indices][..., None], aw[indices]], -1)    # (T, 3, 1+C)
-    corner2 = jnp.tile(corner, (2, 1, 1))                    # (2T, 3, 1+C)
+    corner2 = jnp.concatenate([corner, corner[orig2]], 0)    # (P, 3, 1+C)
     # value of N_c (and D at column 0) at each sub-triangle corner
     cv = jnp.einsum("tkj,tjc->tkc", lam_s, corner2,
                     precision=jax.lax.Precision.HIGHEST)     # (2T, 3, 1+C)
@@ -265,8 +292,9 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
     pc = c0[:, None] * cv[:, 0] + c1[:, None] * cv[:, 1] + c2[:, None] * cv[:, 2]
     planes = jnp.stack([pa, pb, pc], axis=-1).reshape(pa.shape[0], -1)
     if tri_consts is not None:
-        planes = jnp.concatenate([planes, jnp.tile(tri_consts, (2, 1))], -1)
-    return setup, valid, bbox, orig, planes
+        tc = jnp.concatenate([tri_consts, tri_consts[orig2]], axis=0)
+        planes = jnp.concatenate([planes, tc], -1)
+    return setup, valid, bbox, orig, planes, clip_ovf
 
 
 def _bin_triangles(valid: Array, bbox: Array, width: int, height: int,
@@ -668,11 +696,12 @@ def rasterize(clip: Array, indices: Array, *, width: int, height: int,
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     depth_clear = jnp.inf if depth_less else -jnp.inf
-    setup, valid, bbox, _orig = _triangle_setup(
+    setup, valid, bbox, _orig, clip_ovf = _triangle_setup(
         clip, indices, width, height, double_sided, front_ccw, near_eps,
         screen_size=screen_size, screen_offset=screen_offset)
     candidates, compact, counts, max_count, overflow, big_overflow = _bin_triangles(
         valid, bbox, width, height, cfg)
+    overflow = overflow + clip_ovf
     if backend == "pallas":
         from diligentfx_tpu.ops.raster_pallas import raster_tiles_pallas
         tiles_x = width // cfg.tile_w
@@ -744,7 +773,7 @@ def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
     # (XLA transposes of gathered tables are pathological — PERF_NOTES.md);
     # DFX_FUSE_TK=0 reverts to the XLA-transpose prep for A/B measurement
     tk = os.environ.get("DFX_FUSE_TK", "1") == "1"
-    setup, valid, bbox, _orig, planes = _triangle_setup(
+    setup, valid, bbox, _orig, planes, clip_ovf = _triangle_setup(
         clip, indices, width, height, double_sided, front_ccw, near_eps,
         screen_size=screen_size, screen_offset=screen_offset,
         attrs=attrs, winv_vert=winv, tri_consts=tri_consts)
@@ -764,6 +793,7 @@ def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
     else:
         _, compact, counts, max_count, overflow, big_overflow = _bin_triangles(
             valid, bbox, width, height, cfg)
+    overflow = overflow + clip_ovf
     tiles_x = width // cfg.tile_w
     tiles_y = height // cfg.tile_h
     n_const = (0 if tri_consts is None else tri_consts.shape[1]) + 1

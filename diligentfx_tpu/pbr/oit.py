@@ -218,14 +218,18 @@ def rasterize_klayers(clip: Array, indices: Array, *, width: int, height: int,
     opaque tail fragments (alpha = 1)."""
     if tri_rgb is not None and tri_alpha is None:
         tri_alpha = jnp.ones((indices.shape[0],), jnp.float32)
-    setup, valid, bbox, _ = rz._triangle_setup(
+    t_in = indices.shape[0]
+    setup, valid, bbox, orig, _clip_ovf = rz._triangle_setup(
         clip, indices, width, height,
-        jnp.ones((indices.shape[0],), bool), True, 1e-3,
+        jnp.ones((t_in,), bool), True, 1e-3,
         screen_size=screen_size, screen_offset=screen_offset)
     candidates, _compact, _counts, *_ = rz._bin_triangles(
         valid, bbox, width, height, cfg)
-    ta2 = jnp.tile(tri_alpha, 2) if tri_alpha is not None else None
-    tr2 = jnp.tile(tri_rgb, (2, 1)) if tri_rgb is not None else None
+    orig2 = orig[t_in:]   # near-clip overflow rows map back to original tris
+    ta2 = (jnp.concatenate([tri_alpha, tri_alpha[orig2]])
+           if tri_alpha is not None else None)
+    tr2 = (jnp.concatenate([tri_rgb, tri_rgb[orig2]], axis=0)
+           if tri_rgb is not None else None)
     return _klayer_raster_tiles(setup, candidates, width, height, cfg,
                                 num_layers, tri_alpha=ta2, tri_rgb=tr2,
                                 screen_offset=screen_offset)

@@ -118,7 +118,7 @@ def compute_gtao(depth: Array, normal_vs: Array, camera: CameraAttribs,
     fh = full_h or h
     import os
     if (use_pallas and row0 == 0 and max_tap_px is None
-            and os.environ.get("DFX_GTAO_FUSED", "1") != "0"):
+            and os.environ.get("DFX_GTAO_FUSED", "0") == "1"):
         # ONE fused kernel: window DMA + all horizon taps + the arc integral
         # in-register (ops/gtao_pallas.py) instead of slices*2*steps separate
         # windowed-warp launches — same mip-0 taps, same (±63, ±15) clamps.

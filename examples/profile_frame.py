@@ -69,7 +69,7 @@ def main():
     from diligentfx_tpu.ops.raster import _bin_triangles, _triangle_setup
     @jax.jit
     def binning(c, idx, ds):
-        setup, valid, bbox, orig = _triangle_setup(c, idx, pad_w, pad_h, ds, True, 1e-3)
+        setup, valid, bbox, orig, _covf = _triangle_setup(c, idx, pad_w, pad_h, ds, True, 1e-3)
         return _bin_triangles(valid, bbox, pad_w, pad_h, cfg)
     timeit(binning, clip, scene.indices, scene.tri_double_sided, name="  setup+binning only")
 

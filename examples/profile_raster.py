@@ -61,7 +61,7 @@ def main():
         tri_node = scene.vertex_node[scene.indices[:, 0]]
         consts = jnp.stack([scene.tri_material.astype(jnp.float32),
                             tri_node.astype(jnp.float32)], axis=-1)
-        setup, valid, bbox, orig, planes = rz._triangle_setup(
+        setup, valid, bbox, orig, planes, _covf = rz._triangle_setup(
             clip, scene.indices, w, h, scene.tri_double_sided, True, 1e-3,
             attrs=packed, winv_vert=winv, tri_consts=consts)
         planes = jnp.concatenate(

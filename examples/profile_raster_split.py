@@ -76,7 +76,7 @@ def main():
         tri_node = scene.vertex_node[scene.indices[:, 0]]
         consts = jnp.stack([scene.tri_material.astype(jnp.float32),
                             tri_node.astype(jnp.float32)], axis=-1)
-        setup, valid, bbox, orig, planes = rz._triangle_setup(
+        setup, valid, bbox, orig, planes, _covf = rz._triangle_setup(
             clip, scene.indices, pad_w, pad_h, scene.tri_double_sided, True,
             1e-3, attrs=packed, winv_vert=winv, tri_consts=consts)
         planes = jnp.concatenate([planes, orig[:, None].astype(jnp.float32)],
@@ -111,7 +111,7 @@ def main():
         tri_node = scene.vertex_node[scene.indices[:, 0]]
         consts = jnp.stack([scene.tri_material.astype(jnp.float32),
                             tri_node.astype(jnp.float32)], axis=-1)
-        setup, valid, bbox, orig, planes = rz._triangle_setup(
+        setup, valid, bbox, orig, planes, _covf = rz._triangle_setup(
             clip, scene.indices, pad_w, pad_h, scene.tri_double_sided, True,
             1e-3, attrs=packed, winv_vert=winv, tri_consts=consts)
         return setup, planes, bbox
@@ -122,7 +122,7 @@ def main():
         tri_node = scene.vertex_node[scene.indices[:, 0]]
         consts = jnp.stack([scene.tri_material.astype(jnp.float32),
                             tri_node.astype(jnp.float32)], axis=-1)
-        setup, valid, bbox, orig, planes = rz._triangle_setup(
+        setup, valid, bbox, orig, planes, _covf = rz._triangle_setup(
             clip, scene.indices, pad_w, pad_h, scene.tri_double_sided, True,
             1e-3, attrs=packed, winv_vert=winv, tri_consts=consts)
         if cfg.sub_bins > 1 or cfg.big_tile_capacity > 0:

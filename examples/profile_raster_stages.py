@@ -112,7 +112,7 @@ def main():
         @jax.jit
         def run_setup(eps):
             c = clip.at[0, 0].add(eps)
-            setup, valid, bbox, orig, planes = _triangle_setup(
+            setup, valid, bbox, orig, planes, _covf = _triangle_setup(
                 c, scene.indices[:n_op], pad_w, pad_h,
                 scene.tri_double_sided[:n_op], True, 1e-3,
                 attrs=packed, winv_vert=winv, tri_consts=consts)

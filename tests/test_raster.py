@@ -237,3 +237,49 @@ def test_pair_compaction_parity():
     vb1, _ = rasterize(verts, idx, width=256, height=64, cfg=cfg1)
     np.testing.assert_array_equal(np.asarray(vb0.tri_id), np.asarray(vb1.tri_id))
     np.testing.assert_array_equal(np.asarray(vb0.depth), np.asarray(vb1.depth))
+
+
+def test_near_clip_compaction_renders_straddling_triangle():
+    """A ground quad extending from in front of the camera to behind it must
+    render its visible part via the compacted slot-2 sub-triangles (the
+    round-5 compaction replaced the fixed 2x clip expansion)."""
+    view = m3.look_at([0.0, 1.0, 0.0], [0.0, 1.0, -10.0])
+    proj = m3.perspective(0.9, W / H, 0.1, 100.0)
+    vp = m3.mul44(view, proj)
+    # ground plane quad straddling the near plane (z from +2 behind the eye
+    # to -20 in front)
+    pos = np.array([[-5, 0, 2], [5, 0, 2], [5, 0, -20], [-5, 0, -20]],
+                   np.float32)
+    idx = jnp.asarray([[0, 2, 1], [0, 3, 2]], jnp.int32)
+    clip = m3.transform_points(jnp.asarray(pos), vp)
+    vb, stats = rasterize(clip, idx, width=W, height=H, cfg=CFG,
+                          double_sided=jnp.ones((2,), bool))
+    covered = np.asarray(vb.tri_id) >= 0
+    # the visible ground fills the lower half of the frame broadly
+    assert covered[H - 4, :].mean() > 0.9
+    assert covered[H // 2 + 6, W // 4:3 * W // 4].mean() > 0.5
+    assert int(stats.bin_overflow) == 0
+    # depth increases toward the horizon (farther ground rows)
+    d = np.asarray(vb.depth)
+    row_lo, row_hi = H - 4, H // 2 + 8
+    assert d[row_hi, W // 2] > d[row_lo, W // 2]
+
+
+def test_near_clip_overflow_is_counted():
+    """More straddling triangles than the overflow capacity → the dropped
+    slot-2 sub-tris are reported, not silently lost."""
+    from diligentfx_tpu.ops.raster import _clip_near_plane
+    n = 12
+    tris = []
+    for i in range(n):
+        x = (i - n / 2) * 0.1
+        # two verts in front (w > eps), one behind → n_in == 2 → slot 2 alive
+        tris.append([[x, -0.5, 0.0, 1.0], [x + 0.05, 0.5, 0.0, 1.0],
+                     [x + 0.02, 0.0, 0.0, -1.0]])
+    clip = jnp.asarray(np.array(tris, np.float32).reshape(-1, 4))
+    idx = jnp.arange(3 * n, dtype=jnp.int32).reshape(n, 3)
+    verts, barys, alive, orig, ovf = _clip_near_plane(clip, idx, 1e-3,
+                                                      clip_cap=4)
+    assert verts.shape[0] == n + 4
+    assert int(ovf) == n - 4
+    assert int(alive[n:].sum()) == 4
