@@ -97,6 +97,8 @@ class TaskManagerCreateInfo:
     # round-4 quality/perf features (default-off; measured in PERF_NOTES r5)
     epipolar_use_minmax_tree: bool = False
     epipolar_refinement_factor: int = 1
+    # single-scattering LUT fast mode (SINGLE_SCTR_MODE_LUT analogue)
+    epipolar_single_sctr_lut: bool = False
     # Auto-exposure (average-log-luminance measurement + temporal adaptation,
     # the UpdateAverageLuminance analogue)
     enable_auto_exposure: bool = False
@@ -572,7 +574,8 @@ def _frame_fx(begin: FrameBegin, scene, state: FrameState, ibl_maps,
                                max_samples_in_slice=ci.epipolar_samples,
                                num_ray_march_steps=ci.epipolar_march_steps,
                                use_minmax_tree=ci.epipolar_use_minmax_tree,
-                               refinement_factor=ci.epipolar_refinement_factor)
+                               refinement_factor=ci.epipolar_refinement_factor,
+                               single_sctr_lut=ci.epipolar_single_sctr_lut)
         od_lut, ms_lut = atmosphere_lut
         scat = apply_light_scattering(color, gb.depth, info.camera, sun_dir,
                                       od_lut, eps,

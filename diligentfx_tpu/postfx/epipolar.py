@@ -59,6 +59,13 @@ class EpipolarSettings(NamedTuple):
     # the cascade maps per step — 1 packed gather/step instead of 4
     use_minmax_tree: bool = False         # static
     minmax_tree_res: int = 512            # static: base cells per slice line
+    # Single-scattering LUT fast mode (SINGLE_SCTR_MODE_LUT,
+    # RayMarch.fx:523-567 + precompute/PrecomputeSingleScattering.fx): the
+    # per-sample march is replaced by cumulative-table lookups; shadowed
+    # samples use the reference's own contiguous-lit-section approximation
+    # (fDistToFirstLitSection / fTotalLitLength).  See
+    # _build_sctr_cumulative for the tpu recast of the 4D LUT.
+    single_sctr_lut: bool = False         # static
     mie_g: Array = jnp.float32(0.76)
     sun_intensity: Array = jnp.float32(20.0)
     scene_scale: Array = jnp.float32(1.0)  # world units → meters
@@ -276,6 +283,130 @@ def _inscatter_march(lut, origins, directions, lengths, sun_dir, s: EpipolarSett
     return inscatter * s.sun_intensity, trans
 
 
+def _build_sctr_cumulative(lut, camera, sun_dir, s: EpipolarSettings, t_max,
+                           ms_lut=None, v_res: int = 64, t_res: int = 128):
+    """Per-frame cumulative single-scattering tables — the tpu-native recast
+    of the reference's precomputed 4D single-scattering LUT
+    (precompute/PrecomputeSingleScattering.fx, sampled via
+    LookUpPrecomputedScattering in RayMarch.fx:523-567).
+
+    The reference parameterizes its LUT by (altitude, view zenith, sun
+    zenith, azimuth) because any camera may query it.  Here the flat
+    exponential atmosphere (altitude = base + y·scale), the FIXED camera
+    position and the FIXED sun elevation of one frame collapse that to TWO
+    free variables: the ray's vertical direction component v_y and the
+    distance t.  So instead of a 4D offline table we integrate, once per
+    frame, cumulative tables F(v_y, t) with a plain `cumsum` over the
+    distance axis, and the reference's lit-section evaluation
+    T(cam→a)·LUT(a) − T(cam→b)·LUT(b) becomes F(b) − F(a) (our F already
+    integrates from the camera, folding the extinction-to-start factor in).
+
+    Returns one (v_res, t_res+1, 11) table: channels
+    [f_r(3), f_m(3), f_ms(3), tau_r(1), tau_m(1)]; column k holds the
+    integral over [0, k·dt] (column 0 = zeros)."""
+    vy = (jnp.arange(v_res) + 0.5) / v_res * 2.0 - 1.0        # (V,)
+    dt = t_max / t_res
+    tm = (jnp.arange(t_res) + 0.5) * dt                       # (K,) midpoints
+    h = (s.base_altitude
+         + (camera.position[1] + vy[:, None] * tm[None, :]) * s.scene_scale)
+    dr, dm = _density(h)                                      # (V, K)
+    seg = dt * s.scene_scale
+    # optical depth camera→midpoint k: full segments before k + half of k's
+    tau_r = (jnp.cumsum(dr, axis=1) - 0.5 * dr) * seg
+    tau_m = (jnp.cumsum(dm, axis=1) - 0.5 * dm) * seg
+    t_cam = jnp.exp(-(BETA_RAYLEIGH * tau_r[..., None]
+                      + BETA_MIE_EXT * tau_m[..., None]))     # (V, K, 3)
+    cos_z = jnp.broadcast_to(-sun_dir[1], h.shape)
+    t_sun = _transmittance_to_sun(lut, h, cos_z)              # (V, K, 3)
+    f_r = jnp.cumsum(t_cam * t_sun * dr[..., None], axis=1) * seg
+    f_m = jnp.cumsum(t_cam * t_sun * dm[..., None], axis=1) * seg
+    if ms_lut is not None:
+        psi = _sample_ms_lut(ms_lut, h, cos_z)
+        sig_s = BETA_RAYLEIGH * dr[..., None] + BETA_MIE * dm[..., None]
+        f_ms = jnp.cumsum(t_cam * sig_s * psi, axis=1) * seg
+    else:
+        f_ms = jnp.zeros_like(f_r)
+    # cumulative-to-boundary: prepend the zero column so column k = [0, k·dt]
+    cum = jnp.concatenate(
+        [f_r, f_m, f_ms,
+         (jnp.cumsum(dr, axis=1) * seg)[..., None],
+         (jnp.cumsum(dm, axis=1) * seg)[..., None]], axis=-1)  # (V, K, 11)
+    cum = jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum], axis=1)
+    return cum, t_max
+
+
+def _tap_sctr_cumulative(cum, vy, t, t_max):
+    """Bilinear tap of the cumulative table at (v_y, t) → (..., 11)."""
+    v_res, kp1 = cum.shape[0], cum.shape[1]
+    rf = jnp.clip((vy + 1.0) * 0.5 * v_res - 0.5, 0.0, v_res - 1.0)
+    r0 = jnp.floor(rf).astype(jnp.int32)
+    r1 = jnp.minimum(r0 + 1, v_res - 1)
+    fr = (rf - r0.astype(jnp.float32))[..., None]
+    cf = jnp.clip(t / t_max, 0.0, 1.0) * (kp1 - 1)
+    c0 = jnp.floor(cf).astype(jnp.int32)
+    c1 = jnp.minimum(c0 + 1, kp1 - 1)
+    fc = (cf - c0.astype(jnp.float32))[..., None]
+    a = cum[r0, c0] * (1.0 - fc) + cum[r0, c1] * fc
+    b = cum[r1, c0] * (1.0 - fc) + cum[r1, c1] * fc
+    return a * (1.0 - fr) + b * fr
+
+
+def _lit_span(shadow_fn, origins, dirs, lengths, steps: int, jitter=None):
+    """Distance to the first lit point + total lit length along each ray —
+    the reference's fDistToFirstLitSection / fTotalLitLength
+    (RayMarch.fx lit-section computation feeding the LUT path).  A
+    visibility-only march: each step evaluates just the shadow function
+    (min/max-tree gather or PCF), none of the scattering math."""
+    ds = lengths / steps
+    if jitter is None:
+        jitter = jnp.zeros_like(lengths)
+
+    def body(i, carry):
+        first, lit = carry
+        t = (i + 0.25 + 0.5 * jitter) * ds
+        p = origins + dirs * t[..., None]
+        vis = shadow_fn(p)
+        lit = lit + vis * ds
+        first = jnp.where((vis > 0.05) & (first < 0.0), t, first)
+        return first, lit
+
+    first, lit = jax.lax.fori_loop(
+        0, steps, body,
+        (jnp.full(lengths.shape, -1.0), jnp.zeros(lengths.shape)))
+    first = jnp.where(first < 0.0, lengths, jnp.maximum(first - 0.5 * ds, 0.0))
+    return first, jnp.minimum(lit, lengths - first)
+
+
+def _inscatter_lut(cum, t_max, origins, dirs, lengths, sun_dir,
+                   s: EpipolarSettings, shadow_fn=None, jitter=None):
+    """LUT-mode inscatter evaluation (SINGLE_SCTR_MODE_LUT): 2 cumulative
+    taps for the (contiguous-approximated) lit section + 1 for the full-ray
+    transmittance/ambient, replacing the num_ray_march_steps×(3 bilinear LUT
+    taps + transcendentals) march."""
+    cos_theta = jnp.sum(dirs * (-sun_dir), axis=-1)
+    ph_r = phase_rayleigh(cos_theta)[..., None]
+    ph_m = phase_mie(cos_theta, s.mie_g)[..., None]
+    vy = dirs[..., 1]
+    if shadow_fn is not None:
+        t0, lit = _lit_span(shadow_fn, origins, dirs, lengths,
+                            s.num_ray_march_steps, jitter)
+        t1 = jnp.minimum(t0 + lit, lengths)
+    else:
+        t0 = jnp.zeros_like(lengths)
+        t1 = lengths
+    end = _tap_sctr_cumulative(cum, vy, lengths, t_max)       # (..., 11)
+    a = _tap_sctr_cumulative(cum, vy, t0, t_max)
+    b = _tap_sctr_cumulative(cum, vy, t1, t_max)
+    d_single = b - a
+    ins = (BETA_RAYLEIGH * ph_r * d_single[..., 0:3]
+           + BETA_MIE * ph_m * d_single[..., 3:6]
+           + end[..., 6:9])   # ms ambient: unshadowed, whole ray (ref: higher
+    #                           orders arrive from every direction)
+    trans = jnp.exp(-(BETA_RAYLEIGH * end[..., 9:10]
+                      + BETA_MIE_EXT * end[..., 10:11]))
+    return ins * s.sun_intensity, trans
+
+
 def _epipolar_grid(light_uv: Array, num_slices: int, num_samples: int):
     """Slice entry/exit points on the screen rect + sample uv grid
     (slices, samples, 2) — GenerateSliceEndpoints / the coordinate texture
@@ -451,7 +582,7 @@ class EpipolarOutput(NamedTuple):
 def _apply_impl(color, depth, camera, sun_dir, sun_intensity_rgb, lut,
                 settings, shadow_data, ms_lut=None, *, settings_static):
     (num_slices, num_samples, _steps, refine_m, refine_div, use_tree,
-     tree_res) = settings_static
+     tree_res, use_lut) = settings_static
     h, w = depth.shape
     # rebind the structural ints as Python values (they arrive traced in the
     # settings pytree; loop/grid sizes must be static)
@@ -461,7 +592,8 @@ def _apply_impl(color, depth, camera, sun_dir, sun_intensity_rgb, lut,
                           refinement_factor=refine_m,
                           refinement_budget_div=refine_div,
                           use_minmax_tree=use_tree,
-                          minmax_tree_res=tree_res)
+                          minmax_tree_res=tree_res,
+                          single_sctr_lut=use_lut)
 
     # light projection to uv space
     sun_clip = m3.transform_points(camera.position - sun_dir * 1e4,
@@ -519,12 +651,24 @@ def _apply_impl(color, depth, camera, sun_dir, sun_intensity_rgb, lut,
         return (lengths_ / _steps) * du / (tree.u_rng[slice_ids]
                                            / tree.base_r)
 
+    if use_lut:
+        cum, cum_tmax = _build_sctr_cumulative(
+            lut, camera, sun_dir, s, jnp.maximum(jnp.max(lengths), 1e-3),
+            ms_lut=ms_lut)
+
+        def inscatter_eval(o_, d_, l_, shadow_fn_, jitter_=None):
+            return _inscatter_lut(cum, cum_tmax, o_, d_, l_, sun_dir, s,
+                                  shadow_fn=shadow_fn_, jitter=jitter_)
+    else:
+        def inscatter_eval(o_, d_, l_, shadow_fn_, jitter_=None):
+            return _inscatter_march(lut, o_, d_, l_, sun_dir, s, shadow_fn_,
+                                    ms_lut=ms_lut, jitter=jitter_)
+
     if refine_m <= 1:
         sl_ids = jax.lax.broadcasted_iota(jnp.int32, lengths.shape, 0)
-        inscatter_e, trans_e = _inscatter_march(
-            lut, origins, dirs, lengths, sun_dir, s,
-            make_shadow_fn(sl_ids, du_cells_of(lengths, dirs, sl_ids)),
-            ms_lut=ms_lut)
+        inscatter_e, trans_e = inscatter_eval(
+            origins, dirs, lengths,
+            make_shadow_fn(sl_ids, du_cells_of(lengths, dirs, sl_ids)))
     else:
         # ---- sample refinement + interpolation-source search ---------------
         # (RefineSampleLocations / the interpolation-source pass,
@@ -539,9 +683,8 @@ def _apply_impl(color, depth, camera, sun_dir, sun_intensity_rgb, lut,
         ic = jnp.arange(n_c) * m_f                               # coarse ids
         sl_c = jax.lax.broadcasted_iota(jnp.int32, (num_slices, n_c), 0)
         oc, dc, lc = origins[:, ic], dirs[:, ic], lengths[:, ic]
-        ins_c, tr_c = _inscatter_march(
-            lut, oc, dc, lc, sun_dir, s,
-            make_shadow_fn(sl_c, du_cells_of(lc, dc, sl_c)), ms_lut=ms_lut)
+        ins_c, tr_c = inscatter_eval(
+            oc, dc, lc, make_shadow_fn(sl_c, du_cells_of(lc, dc, sl_c)))
 
         # depth breaks between adjacent epipolar samples (linear view z)
         z_lin = depth_to_camera_z(d_smp, camera)                 # (S, N)
@@ -577,10 +720,9 @@ def _apply_impl(color, depth, camera, sun_dir, sun_intensity_rgb, lut,
         orr, drr, lrr = origins[r_s, r_i], dirs[r_s, r_i], lengths[r_s, r_i]
         jit_r = jnp.mod(0.618034 * r_s.astype(jnp.float32)
                         + 0.3247179 * r_i.astype(jnp.float32), 1.0)
-        ins_r, tr_r = _inscatter_march(
-            lut, orr, drr, lrr, sun_dir, s,
-            make_shadow_fn(r_s, du_cells_of(lrr, drr, r_s)),
-            ms_lut=ms_lut, jitter=jit_r)
+        ins_r, tr_r = inscatter_eval(
+            orr, drr, lrr, make_shadow_fn(r_s, du_cells_of(lrr, drr, r_s)),
+            jitter_=jit_r)
         # scatter the exact marches over the interpolation (invalid slots
         # target an out-of-range row and drop)
         tgt_s = jnp.where(buf >= 0, r_s, num_slices)
@@ -665,7 +807,7 @@ def apply_light_scattering(color: Array, depth: Array, camera: CameraAttribs,
     static = (settings.num_epipolar_slices, settings.max_samples_in_slice,
               settings.num_ray_march_steps, settings.refinement_factor,
               settings.refinement_budget_div, settings.use_minmax_tree,
-              settings.minmax_tree_res)
+              settings.minmax_tree_res, settings.single_sctr_lut)
     return _apply_impl(color, depth, camera, sun_dir,
                        jnp.asarray(sun_intensity_rgb, jnp.float32), lut,
                        settings, shadow_data, ms_lut,

@@ -311,6 +311,19 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
         return jnp.stack([ndc[..., 0] * 0.5 + 0.5, 0.5 - ndc[..., 1] * 0.5,
                           ndc[..., 2]], axis=-1)
 
+    import os
+    _cut = os.environ.get("DFX_SSR_STAGE", "")
+
+    def _fabricate(*keep):
+        """Truncate the SSR graph here (profiling bisect, fresh process per
+        setting): checksum the prefix so it stays live, fabricate the rest."""
+        chk = sum(jnp.sum(k) * 1e-20 for k in keep)
+        rad = jnp.broadcast_to(chk, (h, w, 1)) * jnp.ones((h, w, 4))
+        st = SSRState(radiance=rad)
+        up = jnp.broadcast_to(chk, (full_h, full_w, 1)) * jnp.ones(
+            (full_h, full_w, 4))
+        return (up if half_resolution else rad), st
+
     o_uvz = to_uvz(p0)
     e_uvz = to_uvz(p1)
     dir_uvz = e_uvz - o_uvz
@@ -327,6 +340,8 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
     # small offset off the surface to avoid self-intersection
     o_uvz = o_uvz + dir_uvz * 0.01
 
+    if _cut == "setup":
+        return _fabricate(o_uvz, dir_uvz, alpha)
     mips = build_min_depth_pyramid(depth_r, 4)
     # thickness in NDC at this depth (approximate scale)
     thick = settings.depth_buffer_thickness / jnp.maximum(
@@ -334,20 +349,31 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
     hit_uvz, hit = _march(mips, o_uvz, dir_uvz,
                           settings.max_traversal_intersections, thick,
                           use_pallas=use_pallas)
+    if _cut == "march":
+        return _fabricate(hit_uvz, hit.astype(jnp.float32))
 
     # reject hits whose surface doesn't face the ray (FFX-SSSR style): kills
     # the false crossings a grazing ray makes skimming its own reflector
     # (the point-sampled depth staircase oscillates around such rays)
     from diligentfx_tpu.ops.sampling import point_sample
-    n_hit = point_sample(normal_r, hit_uvz[..., :2])
+    if use_pallas:
+        # gathers cost per ROW regardless of width (PERF_NOTES.md): pack
+        # [normal, color] into one march-res table so the hit-normal
+        # rejection and the radiance tap share ONE gather.  Color is
+        # decimated to march res — the reference's intersection pass also
+        # samples its radiance at the SSR processing resolution
+        # (SSR_ComputeIntersection.fx runs at the half-res dispatch); the
+        # BRDF-weighted spatial reconstruction + temporal pass filter it.
+        color_r = color[::d, ::d] if d > 1 else color
+        packed_nc = jnp.concatenate([normal_r, color_r], axis=-1)
+        vals = point_sample(packed_nc, hit_uvz[..., :2])
+        n_hit = vals[..., :3]
+        refl = vals[..., 3:6]
+    else:
+        n_hit = point_sample(normal_r, hit_uvz[..., :2])
+        # radiance at the hit: the reference's single linear tap
+        refl = bilinear_sample(color, hit_uvz[..., :2])
     hit = hit & (jnp.sum(n_hit * r_dir, axis=-1) < -0.05)
-
-    # radiance at the hit: the reference's single linear tap
-    # (SSR_ComputeIntersection.fx) is 4 TPU gathers; the perf path takes the
-    # nearest texel (1 gather, ~-10 ms at div2) and lets the BRDF-weighted
-    # spatial reconstruction + temporal accumulation supply the filtering
-    refl = (point_sample if use_pallas else bilinear_sample)(
-        color, hit_uvz[..., :2])
     # fades: screen edge, ray facing camera, roughness
     edge = (saturate(10.0 * (0.5 - jnp.abs(hit_uvz[..., 0:1] - 0.5)))
             * saturate(10.0 * (0.5 - jnp.abs(hit_uvz[..., 1:2] - 0.5))))
@@ -355,6 +381,8 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
                           / jnp.maximum(settings.roughness_threshold, 1e-3) * 4.0)
     conf = hit[..., None].astype(jnp.float32) * edge * rough_fade
     radiance = jnp.concatenate([refl * conf, conf], axis=-1)
+    if _cut == "taps":
+        return _fabricate(radiance)
 
     # spatial reconstruction: BRDF-PDF-weighted neighborhood ray reuse
     # (SSR_ComputeSpatialReconstruction.fx semantics: each neighbor's ray is

@@ -193,3 +193,107 @@ def test_minmax_tree_shadowed_march(lut):
     noshadow = apply_light_scattering(color, depth, cam, sun, lut, base)
     assert float(np.asarray(tree.inscatter).mean()) < float(
         np.asarray(noshadow.inscatter).mean()) + 1e-6
+
+
+def test_single_sctr_lut_matches_integration(lut):
+    """SINGLE_SCTR_MODE_LUT parity: on an unshadowed scene the cumulative-
+    table path must closely match the per-sample march (same integrand,
+    different quadrature)."""
+    cam = make_camera()
+    color = jnp.zeros((H, W, 3))
+    yy = (jnp.arange(H, dtype=jnp.float32) / H)[:, None]
+    depth = jnp.clip(0.995 + 0.004 * yy * jnp.ones((H, W)), 0.0, 1.0)
+    sun_dir = m3.normalize(jnp.array([0.3, -0.4, -1.0]))
+    out_m = apply_light_scattering(color, depth, cam, sun_dir, lut, SMALL)
+    out_l = apply_light_scattering(
+        color, depth, cam, sun_dir, lut,
+        SMALL._replace(single_sctr_lut=True))
+    a = np.asarray(out_m.inscatter)
+    b = np.asarray(out_l.inscatter)
+    assert np.isfinite(b).all()
+    scale = max(a.max(), 1e-12)
+    err = np.abs(a - b) / scale
+    assert np.percentile(err, 99) < 0.08, np.percentile(err, 99)
+    ta = np.asarray(out_m.transmittance)
+    tb = np.asarray(out_l.transmittance)
+    np.testing.assert_allclose(tb, ta, atol=0.02)
+
+
+def test_single_sctr_lut_shadowed(lut):
+    """LUT mode with shadows: the contiguous-lit-section approximation
+    (fDistToFirstLitSection/fTotalLitLength, RayMarch.fx) must still darken
+    shadowed rays and stay within a loose band of the exact march."""
+    from diligentfx_tpu.components.shadow_map_manager import (
+        distribute_cascades, render_cascade_shadow_maps)
+    from diligentfx_tpu.config import RasterizerConfig
+    from diligentfx_tpu.gltf.primitives import cube, transform_mesh
+    import numpy as _np
+
+    cam = make_camera()
+    sun_dir = m3.normalize(jnp.array([0.0, -0.5, -1.0]))
+    c = cube(30.0)
+    lift = _np.eye(4, dtype=_np.float32)
+    lift[3, :3] = [0.0, 25.0, -30.0]
+    c = transform_mesh(c, lift)
+    att = distribute_cascades(cam.view, m3.inverse(cam.view),
+                              float(cam.proj[0, 0]), float(cam.proj[1, 1]),
+                              0.5, 200.0, sun_dir, num_cascades=2,
+                              shadow_map_size=128)
+    cfg = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=64,
+                           max_tiles_per_tri=8, big_tri_capacity=32, chunk=8)
+    smaps = render_cascade_shadow_maps(jnp.asarray(c.positions),
+                                       jnp.asarray(c.indices), att,
+                                       shadow_map_size=128, cfg=cfg)
+    color = jnp.zeros((H, W, 3))
+    depth = jnp.full((H, W), 0.99)
+    s_lut = SMALL._replace(single_sctr_lut=True)
+    out_lit = apply_light_scattering(color, depth, cam, sun_dir, lut, s_lut)
+    out_shd = apply_light_scattering(color, depth, cam, sun_dir, lut, s_lut,
+                                     shadow_data=(att, smaps))
+    out_ref = apply_light_scattering(color, depth, cam, sun_dir, lut, SMALL,
+                                     shadow_data=(att, smaps))
+    lit = float(np.asarray(out_lit.inscatter).mean())
+    shd = float(np.asarray(out_shd.inscatter).mean())
+    ref = float(np.asarray(out_ref.inscatter).mean())
+    assert np.isfinite(shd)
+    assert shd < lit * 0.9, (shd, lit)
+    # within 35% of the exact shadowed march (the lit section really is
+    # near-contiguous for one blocker; tolerance covers the span approx)
+    assert abs(shd - ref) < 0.35 * max(ref, 1e-12), (shd, ref)
+
+
+def test_single_sctr_lut_with_tree_and_refinement(lut):
+    """LUT mode composes with the min/max shadow tree (the lit-span march
+    then uses tree gathers) + sample refinement; shadowing still darkens."""
+    from diligentfx_tpu.components.shadow_map_manager import (
+        distribute_cascades, render_cascade_shadow_maps)
+    from diligentfx_tpu.config import RasterizerConfig
+    from diligentfx_tpu.gltf.primitives import cube, transform_mesh
+    import numpy as _np
+
+    cam = make_camera()
+    sun_dir = m3.normalize(jnp.array([0.0, -0.5, -1.0]))
+    c = cube(30.0)
+    lift = _np.eye(4, dtype=_np.float32)
+    lift[3, :3] = [0.0, 25.0, -30.0]
+    c = transform_mesh(c, lift)
+    att = distribute_cascades(cam.view, m3.inverse(cam.view),
+                              float(cam.proj[0, 0]), float(cam.proj[1, 1]),
+                              0.5, 200.0, sun_dir, num_cascades=2,
+                              shadow_map_size=128)
+    cfg = RasterizerConfig(tile_h=8, tile_w=128, bin_capacity=64,
+                           max_tiles_per_tri=8, big_tri_capacity=32, chunk=8)
+    smaps = render_cascade_shadow_maps(jnp.asarray(c.positions),
+                                       jnp.asarray(c.indices), att,
+                                       shadow_map_size=128, cfg=cfg)
+    color = jnp.zeros((H, W, 3))
+    depth = jnp.full((H, W), 0.99)
+    s = SMALL._replace(single_sctr_lut=True, refinement_factor=2,
+                       use_minmax_tree=True, minmax_tree_res=64)
+    out_lit = apply_light_scattering(color, depth, cam, sun_dir, lut,
+                                     SMALL._replace(single_sctr_lut=True))
+    out = apply_light_scattering(color, depth, cam, sun_dir, lut, s,
+                                 shadow_data=(att, smaps))
+    assert np.isfinite(np.asarray(out.color)).all()
+    assert (float(np.asarray(out.inscatter).mean())
+            < float(np.asarray(out_lit.inscatter).mean()) * 0.9)
