@@ -467,6 +467,15 @@ def _bin_triangles_sub(valid: Array, bbox: Array, width: int, height: int,
     num_bins = bins_y * tiles_x
     t = valid.shape[0]
 
+    import os
+    _cut = os.environ.get("DFX_BIN_CUT", "")
+    if _cut == "setup":
+        # truncate BEFORE the pair expansion: isolates _triangle_setup (+
+        # upstream vertex work) from the binning pipeline
+        chk = (jnp.sum(bbox) * 1e-9
+               + jnp.sum(valid.astype(jnp.float32)) * 1e-9)
+        return _fabricate_bins(chk, num_tiles, sub, cap_sub, cfg)
+
     tx0 = jnp.clip(jnp.floor(bbox[:, 0] / cfg.tile_w).astype(jnp.int32), 0, tiles_x - 1)
     by0 = jnp.clip(jnp.floor(bbox[:, 1] / bin_h).astype(jnp.int32), 0, bins_y - 1)
     tx1 = jnp.clip(jnp.floor(bbox[:, 2] / cfg.tile_w).astype(jnp.int32), 0, tiles_x - 1)
@@ -511,8 +520,16 @@ def _bin_triangles_sub(valid: Array, bbox: Array, width: int, height: int,
         chk = (jnp.sum(packed.astype(jnp.float32)) * 1e-9
                + jnp.sum(pos.astype(jnp.float32)) * 1e-9)
         return _fabricate_bins(chk, num_tiles, sub, cap_sub, cfg)
-    buf = jnp.full((cap,), sentinel, jnp.int32)
-    buf = buf.at[pos].set(packed.reshape(-1), mode="drop", unique_indices=True)
+    if os.environ.get("DFX_BIN_NOSCATTER", "0") == "1":
+        # A/B probe: sort the raw (P*K) pair array directly (invalid pairs
+        # carry the sentinel bin and sort to the end) instead of compacting
+        # into the small buffer first — the round-5 bisect measured the
+        # compaction scatter at ~6 ms while the 131k sort was ~free
+        buf = packed.reshape(-1)
+    else:
+        buf = jnp.full((cap,), sentinel, jnp.int32)
+        buf = buf.at[pos].set(packed.reshape(-1), mode="drop",
+                              unique_indices=True)
     if _cut == "scatter":
         chk = jnp.sum(buf.astype(jnp.float32)) * 1e-9
         return _fabricate_bins(chk, num_tiles, sub, cap_sub, cfg)
@@ -527,24 +544,23 @@ def _bin_triangles_sub(valid: Array, bbox: Array, width: int, height: int,
         num_segments=num_bins + 1).astype(jnp.int32)[:num_bins]
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                               jnp.cumsum(counts)[:-1]])
-    j = jnp.arange(cap_sub, dtype=jnp.int32)
-    gather_idx = starts[:, None] + j[None, :]
-    in_bin = j[None, :] < jnp.minimum(counts[:, None], cap_sub)
-    gather_idx = jnp.clip(gather_idx, 0, sorted_tri.shape[0] - 1)
-    cand_small = jnp.where(in_bin, sorted_tri[gather_idx], -1)  # (bins, capS)
-
-    # kernel-tile layout: segment j of tile (ty, tx) is bin (ty*sub + j, tx).
-    # The transpose runs on the small int32 candidate table (not on gathered
-    # f32 setup rows — those XLA transposes are pathological, PERF_NOTES.md).
-    cand_small = (cand_small
-                  .reshape(tiles_y, sub, tiles_x, cap_sub)
-                  .transpose(0, 2, 1, 3)
-                  .reshape(num_tiles, sub * cap_sub))
-    counts_small = jnp.minimum(counts, cap_sub)
-    seg_counts = (counts_small
-                  .reshape(tiles_y, sub, tiles_x)
-                  .transpose(0, 2, 1)
-                  .reshape(num_tiles, sub))
+    # Build the gather INDEX directly in the kernel-tile layout — tile t's
+    # segment s slot j reads bin (ty*sub + s)*tiles_x + tx — so the gather
+    # emits (num_tiles, sub*cap_sub) with NO transpose of gathered data
+    # (the round-2 trap: XLA relayouts of gather outputs are pathological;
+    # the (bins, cap)->tile-layout transpose here measured ~1/3 of the whole
+    # binning-suffix block in the round-5 DFX_BIN_CUT bisect).  Index math is
+    # iota-elementwise; starts/counts are tiny (num_bins,) tables.
+    t_id = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, sub), 0)
+    s_id = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, sub), 1)
+    bin_id = ((t_id // tiles_x) * sub + s_id) * tiles_x + (t_id % tiles_x)
+    seg_counts = jnp.minimum(counts[bin_id], cap_sub)        # (tiles, sub)
+    starts_t = starts[bin_id]                                # tiny gathers
+    j_id = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, sub, cap_sub), 2)
+    gather_idx = jnp.clip(starts_t[:, :, None] + j_id, 0,
+                          sorted_tri.shape[0] - 1)
+    cand_small = jnp.where(j_id < seg_counts[:, :, None], sorted_tri[gather_idx],
+                           -1).reshape(num_tiles, sub * cap_sub)
 
     # --- big triangles: exact per-tile bbox overlap ------------------------
     big_rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1

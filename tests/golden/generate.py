@@ -183,8 +183,59 @@ def render_full_chain_golden():
     return _chain_golden(True)
 
 
+def render_bench_config_golden():
+    """The EXACT bench.py headline feature set (Pallas SSAO taps, Pallas SSR
+    march + packed radiance tap, Pallas TAA history warp, fast env taps,
+    div2 SSR) with every Pallas kernel in interpret mode — closes the gap
+    where goldens gated only the XLA defaults while the bench ran the
+    Pallas variants (round-4 VERDICT weak #8)."""
+    import functools
+    import jax.experimental.pallas as pl
+    from diligentfx_tpu.attribs import (PBRLightAttribs,
+                                        PBRRendererShaderParameters)
+    from diligentfx_tpu.config import PBRRendererCreateInfo
+    from diligentfx_tpu.hydrogent.task_manager import (FrameSettings,
+                                                       HnTaskManager,
+                                                       TaskManagerCreateInfo)
+    from diligentfx_tpu.pbr.renderer import PBRRenderer, RenderInfo
+    from diligentfx_tpu.postfx.ssr import SSRSettings
+    from diligentfx_tpu.postfx.taa import TAAFeatureFlags
+    w, h = 256, 128
+    scene = _mini_sponza()
+    renderer = PBRRenderer(PBRRendererCreateInfo(
+        brdf_lut_dim=32, num_brdf_samples=16, irradiance_cube_dim=16,
+        prefiltered_env_map_dim=32, num_specular_env_samples=16),
+        raster_cfg=_small_cfg())
+    tm = HnTaskManager(renderer, TaskManagerCreateInfo(
+        enable_ssao=True, ssao_half_resolution=True,
+        ssao_num_slices=2, ssao_num_steps=4,
+        ssao_use_pallas=True, ssr_use_pallas=True, fast_env_taps=True,
+        enable_ssr=True, ssr_half_resolution=True, ssr_resolution_divisor=2,
+        enable_taa=True, enable_bloom=True,
+        taa_feature_flags=(TAAFeatureFlags.YCOCG_COLOR_SPACE
+                           | TAAFeatureFlags.GAUSSIAN_WEIGHTING
+                           | TAAFeatureFlags.PALLAS_WARP)))
+    cam = _small_cam([0.0, 2.0, 9.0], [0, 1, 0], w, h)
+    lights = PBRLightAttribs.directional([-0.4, -1.0, -0.2], [4, 4, 4])
+    info = RenderInfo(camera=cam, lights=lights,
+                      renderer_params=PBRRendererShaderParameters.create())
+    settings = FrameSettings(ssr=SSRSettings(max_traversal_intersections=16))
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        state = tm.initial_state(w, h)
+        out = tm.execute(scene, info, state, width=w, height=h,
+                         settings=settings)
+        out = tm.execute(scene, info, out.state, width=w, height=h,
+                         settings=settings)
+    finally:
+        pl.pallas_call = orig
+    return np.asarray(out.color)
+
+
 GOLDENS = {
     "mr_spheres_128.png": render_mr_spheres_golden,
+    "bench_cfg_256.png": render_bench_config_golden,
     "csm_256.png": render_csm_golden,
     "deferred_256.png": render_deferred_golden,
     "full_chain_256.png": render_full_chain_golden,

@@ -47,3 +47,10 @@ def test_deferred_matches_golden():
 def test_full_chain_matches_golden():
     """cfg4-class gate: + TAA + bloom + DoF, frame 2."""
     _check("render_full_chain_golden", "full_chain_256.png")
+
+
+def test_bench_config_matches_golden():
+    """Headline-bench gate: the exact bench.py feature set with every Pallas
+    kernel in interpret mode (the bench's compiled variants are per-kernel
+    parity-tested against interpret mode elsewhere)."""
+    _check("render_bench_config_golden", "bench_cfg_256.png")
