@@ -275,6 +275,17 @@ class RasterizerConfig:
     # ground plane costs every tile big_tri_capacity full-tile evaluations:
     # 88 of 357 Mpx measured at 1080p; exact overlap is 3 Mpx).
     big_tile_capacity: int = 0
+    # Sort the raw (P*max_tiles_per_tri) pair array directly instead of
+    # compacting valid pairs into the pair_compaction_cap buffer first
+    # (invalid pairs carry the sentinel bin and sort to the end).  The
+    # round-5 bisect measured the compaction scatter at ~6 ms while the
+    # sort itself was ~free; which side wins depends on the pair count.
+    skip_pair_compaction: bool = False
+    # Profiling bisect: truncate the sub-binning pipeline after
+    # {setup, pairs, scatter, sort} and fabricate shape-compatible outputs
+    # (candidates empty) — in-frame deltas between settings attribute the
+    # stage costs.  "" = off.  Frame output is garbage when set.
+    bin_cut: str = ""
 
     def __post_init__(self):
         if self.tile_w % 128 != 0:

@@ -76,7 +76,8 @@ def clip_to_screen(clip: Array, width: int, height: int) -> Tuple[Array, Array, 
 
 
 def _clip_near_plane(clip: Array, indices: Array, eps: float,
-                     clip_cap: Optional[int] = None):
+                     clip_cap: Optional[int] = None,
+                     corner_clip: Optional[Array] = None):
     """Near-plane (w = eps) polygon clipping with a COMPACTED expansion.
 
     Each input triangle yields up to two raster primitives (sub-triangles of
@@ -97,7 +98,7 @@ def _clip_near_plane(clip: Array, indices: Array, eps: float,
              more than C triangles straddled the near plane).
     """
     t = indices.shape[0]
-    c = clip[indices]                                       # (T, 3, 4)
+    c = corner_clip if corner_clip is not None else clip[indices]  # (T, 3, 4)
     w = c[..., 3]
     inside = w > eps                                        # (T, 3)
     n_in = jnp.sum(inside.astype(jnp.int32), axis=-1)
@@ -185,8 +186,20 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
     Returns (setup (P, 16) — see _SETUP_DIM, valid (P,),
              bbox (P, 4) [xmin,ymin,xmax,ymax], orig_id (P,)[, planes],
              clip_ovf ())."""
+    # ONE per-corner vertex gather: gathers cost per row (PERF_NOTES.md), so
+    # clip positions, 1/w, and the premultiplied attributes ride the same
+    # (T, 3, 5+C) gather instead of three separate indices gathers
+    if attrs is not None:
+        aw_v = attrs * winv_vert[:, None]                    # (V, C)
+        vdata = jnp.concatenate([clip, winv_vert[:, None], aw_v], axis=-1)
+        vd = vdata[indices]                                  # (T, 3, 5+C)
+        corner_clip = vd[..., :4]
+        corner_attr = vd[..., 4:]                            # [w⁻¹, a·w⁻¹]
+    else:
+        corner_clip = clip[indices]
+        corner_attr = None
     verts, barys, alive, orig, clip_ovf = _clip_near_plane(
-        clip, indices, near_eps)
+        clip, indices, near_eps, corner_clip=corner_clip)
     t_in = indices.shape[0]
     orig2 = orig[t_in:]                   # overflow rows' original tri ids
     full_w, full_h = screen_size if screen_size is not None else (width, height)
@@ -245,7 +258,7 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
     # sub-corner's clip position is exactly Σ bary[k,m] * orig_vert_m, the
     # perspective-correct screen bary at corner k is
     #   λs_j = bary[k, j] * w_j / w_corner.
-    w_orig = clip[indices][:, :, 3]                          # (T, 3)
+    w_orig = corner_clip[:, :, 3]                            # (T, 3)
     ow = jnp.concatenate([w_orig, w_orig[orig2]], axis=0)    # (P, 3) orig w
     num = barys * ow[:, None, :]                             # (2T, 3corner, 3j)
     lam_s = num / jnp.maximum(w[..., None], 1e-12)           # (2T, 3corner, 3j)
@@ -280,9 +293,7 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
         return setup, valid, bbox, orig, clip_ovf
 
     # ---- attribute planes for the fused raster+shade kernel ---------------
-    aw = attrs * winv_vert[:, None]                          # (V, C)
-    corner = jnp.concatenate(
-        [winv_vert[indices][..., None], aw[indices]], -1)    # (T, 3, 1+C)
+    corner = corner_attr                                     # (T, 3, 1+C)
     corner2 = jnp.concatenate([corner, corner[orig2]], 0)    # (P, 3, 1+C)
     # value of N_c (and D at column 0) at each sub-triangle corner
     cv = jnp.einsum("tkj,tjc->tkc", lam_s, corner2,
@@ -468,7 +479,7 @@ def _bin_triangles_sub(valid: Array, bbox: Array, width: int, height: int,
     t = valid.shape[0]
 
     import os
-    _cut = os.environ.get("DFX_BIN_CUT", "")
+    _cut = cfg.bin_cut or os.environ.get("DFX_BIN_CUT", "")
     if _cut == "setup":
         # truncate BEFORE the pair expansion: isolates _triangle_setup (+
         # upstream vertex work) from the binning pipeline
@@ -511,16 +522,12 @@ def _bin_triangles_sub(valid: Array, bbox: Array, width: int, height: int,
     pos = jnp.where(pair_valid, pos, oob).reshape(-1)
     sentinel = jnp.int32(num_bins << tri_bits)
     packed = (pair_bin << tri_bits) | pair_tri
-    # profiling bisect (DFX_BIN_CUT, fresh process per setting): truncate the
-    # binning pipeline after {pairs, scatter, sort} and fabricate the rest —
-    # the in-frame delta between settings attributes the stage costs.
-    import os
-    _cut = os.environ.get("DFX_BIN_CUT", "")
     if _cut == "pairs":
         chk = (jnp.sum(packed.astype(jnp.float32)) * 1e-9
                + jnp.sum(pos.astype(jnp.float32)) * 1e-9)
         return _fabricate_bins(chk, num_tiles, sub, cap_sub, cfg)
-    if os.environ.get("DFX_BIN_NOSCATTER", "0") == "1":
+    if (cfg.skip_pair_compaction
+            or os.environ.get("DFX_BIN_NOSCATTER", "0") == "1"):
         # A/B probe: sort the raw (P*K) pair array directly (invalid pairs
         # carry the sentinel bin and sort to the end) instead of compacting
         # into the small buffer first — the round-5 bisect measured the
