@@ -84,6 +84,9 @@ class TaskManagerCreateInfo:
     # spatial reconstruction + bilateral, ScreenSpaceReflection.hpp:145-154)
     ssr_enable_spatial: bool = True
     ssr_enable_bilateral: bool = True
+    # profiling bisect: truncate the SSR graph after {setup, march, taps}
+    # and fabricate the rest (postfx/ssr.py _fabricate).  "" = off.
+    ssr_stage_cut: str = ""
     fast_env_taps: bool = False     # nearest-mip env + point LUT sampling
     dof_use_pallas: bool = False    # gather-free bokeh taps (TPU only)
     # Debug AOV output (HN_VIEW_MODE_* analogue, HnTypes.hpp:76+): when not
@@ -474,7 +477,8 @@ def _frame_fx(begin: FrameBegin, scene, state: FrameState, ibl_maps,
             resolution_divisor=ci.ssr_resolution_divisor,
             disocclusion=disocclusion, use_pallas=ci.ssr_use_pallas,
             enable_spatial=ci.ssr_enable_spatial,
-            enable_bilateral=ci.ssr_enable_bilateral)
+            enable_bilateral=ci.ssr_enable_bilateral,
+            stage_cut=ci.ssr_stage_cut)
 
     # ---- Composite (HnPostProcess.psh analogue) -------------------------------
     ao1 = ao[..., None]

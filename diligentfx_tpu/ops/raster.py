@@ -164,12 +164,36 @@ def _clip_near_plane(clip: Array, indices: Array, eps: float,
     return verts, barys, alive, orig, clip_ovf
 
 
+def _fab_setup(chk, p: int, planes_dim: int, width: int, height: int,
+               with_planes: bool):
+    """Deterministic shape-compatible _triangle_setup outputs (profiling
+    cut points INSIDE setup — bin_cut='clipped'/'planes0').  The fabricated
+    bboxes/validity are identical across cut points so the downstream
+    binning+kernel suffix contributes a constant offset and deltas between
+    cuts attribute the setup stages."""
+    iz = (chk * 0.0).astype(jnp.float32)
+    ii = jnp.arange(p, dtype=jnp.float32)
+    setup = jnp.broadcast_to((ii * 1e-3)[:, None] + iz, (p, _SETUP_DIM))
+    valid = (jnp.arange(p) % 3 == 0) & (iz < 1.0)
+    x0 = jnp.mod(ii * 13.7, max(width - 16, 1))
+    y0 = jnp.mod(ii * 7.3, max(height - 16, 1))
+    bbox = jnp.stack([x0 + iz, y0, x0 + 12.0, y0 + 9.0], axis=-1)
+    orig = jnp.arange(p, dtype=jnp.int32)
+    out = [setup, valid, bbox, orig]
+    if with_planes:
+        out.append(jnp.broadcast_to((ii * 1e-4)[:, None] + iz,
+                                    (p, planes_dim)))
+    out.append(iz.astype(jnp.int32))
+    return tuple(out)
+
+
 def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
                     double_sided, front_ccw: bool, near_eps: float,
                     screen_size=None, screen_offset=(0, 0),
                     attrs: Optional[Array] = None,
                     winv_vert: Optional[Array] = None,
-                    tri_consts: Optional[Array] = None):
+                    tri_consts: Optional[Array] = None,
+                    cut: str = ""):
     """Near-clip + raster setup.
 
     screen_size/screen_offset support viewport bands for multi-chip tile
@@ -202,6 +226,15 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
         clip, indices, near_eps, corner_clip=corner_clip)
     t_in = indices.shape[0]
     orig2 = orig[t_in:]                   # overflow rows' original tri ids
+    n_pl = (3 * (attrs.shape[1] + 1)
+            + (tri_consts.shape[1] if tri_consts is not None else 0)
+            ) if attrs is not None else 0
+    if cut == "clipped":
+        chk = jnp.sum(verts) * 1e-12 + jnp.sum(barys) * 1e-12
+        if corner_attr is not None:
+            chk = chk + jnp.sum(corner_attr) * 1e-12
+        return _fab_setup(chk, verts.shape[0], n_pl, width, height,
+                          attrs is not None)
     full_w, full_h = screen_size if screen_size is not None else (width, height)
     off_x, off_y = screen_offset
 
@@ -291,6 +324,12 @@ def _triangle_setup(clip: Array, indices: Array, width: int, height: int,
                      axis=-1)
     if attrs is None:
         return setup, valid, bbox, orig, clip_ovf
+
+    if cut == "planes0":
+        chk = jnp.sum(setup) * 1e-12 + jnp.sum(bbox) * 1e-12
+        if corner_attr is not None:
+            chk = chk + jnp.sum(corner_attr) * 1e-12
+        return _fab_setup(chk, setup.shape[0], n_pl, width, height, True)
 
     # ---- attribute planes for the fused raster+shade kernel ---------------
     corner = corner_attr                                     # (T, 3, 1+C)
@@ -799,7 +838,8 @@ def rasterize_fused(clip: Array, indices: Array, attrs: Array, winv: Array,
     setup, valid, bbox, _orig, planes, clip_ovf = _triangle_setup(
         clip, indices, width, height, double_sided, front_ccw, near_eps,
         screen_size=screen_size, screen_offset=screen_offset,
-        attrs=attrs, winv_vert=winv, tri_consts=tri_consts)
+        attrs=attrs, winv_vert=winv, tri_consts=tri_consts,
+        cut=cfg.bin_cut if cfg.bin_cut in ("clipped", "planes0") else "")
     # the original triangle id rides the planes table as one more const:
     # the kernel's z-loop then tracks only (z, slot) and the id resolves in
     # the epilogue with the other per-winner values

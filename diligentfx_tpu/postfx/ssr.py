@@ -249,7 +249,8 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
                 use_pallas: bool = False,
                 enable_spatial: bool = True,
                 enable_temporal: bool = True,
-                enable_bilateral: bool = True) -> Tuple[Array, SSRState]:
+                enable_bilateral: bool = True,
+                stage_cut: str = "") -> Tuple[Array, SSRState]:
     """Full SSR: returns ((H, W, 4) radiance+confidence, new state).
 
     color: scene radiance to reflect (pre-tonemap); normal_vs view-space.
@@ -312,7 +313,7 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
                           ndc[..., 2]], axis=-1)
 
     import os
-    _cut = os.environ.get("DFX_SSR_STAGE", "")
+    _cut = stage_cut or os.environ.get("DFX_SSR_STAGE", "")
 
     def _fabricate(*keep):
         """Truncate the SSR graph here (profiling bisect, fresh process per

@@ -99,6 +99,19 @@ def main():
         ("ssr_no_bilateral", mk(ssr_enable_bilateral=False), None),
         ("ssr_lean", mk(ssr_enable_spatial=False,
                         ssr_enable_bilateral=False), None),
+        # SSR stage bisect (truncate-and-fabricate; deltas between cuts
+        # attribute setup / march / taps)
+        ("ssr_cut_setup", mk(ssr_stage_cut="setup"), None),
+        ("ssr_cut_march", mk(ssr_stage_cut="march"), None),
+        ("ssr_cut_taps", mk(ssr_stage_cut="taps"), None),
+        # binning stage bisect + variants (static cfg knobs)
+        ("visonly_cut_setup", mk(vis_only=True, **gbuf_off),
+         ("cfg", dict(bin_cut="setup"))),
+        ("visonly_cut_pairs", mk(vis_only=True, **gbuf_off),
+         ("cfg", dict(bin_cut="pairs"))),
+        ("visonly_noscatter", mk(vis_only=True, **gbuf_off),
+         ("cfg", dict(skip_pair_compaction=True))),
+        ("full_noscatter", mk(), ("cfg", dict(skip_pair_compaction=True))),
     ]
     if args.only:
         names = set(args.only.split(","))
