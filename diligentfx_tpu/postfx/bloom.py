@@ -84,18 +84,28 @@ def upsample_add(low: Array, high: Array, radius: float = 1.0) -> Array:
 def apply_bloom(color: Array, settings: BloomSettings = BloomSettings(),
                 num_mips: int = 6) -> Array:
     """Full bloom chain (Bloom::Execute: prefilter → downsample chain →
-    upsample+combine chain → lerp with intensity)."""
-    base = prefilter(color, settings, karis=True)
+    upsample+combine chain → lerp with intensity).
+
+    The pyramid's finest level is HALF the backbuffer resolution, exactly as
+    the reference allocates it (Bloom.cpp:97-99 HalfWidth/HalfHeight); the
+    final combine samples that half-res result with one bilinear tap
+    (ComputeCombine).  Running mip 0 at full res cost two full-res 1080p
+    convs for no reference-visible quality (round-5: bloom 7.9 ms in-frame
+    with the full-res chain)."""
+    base = downsample(prefilter(color, settings, karis=True))   # half res
     chain: List[Array] = [base]
     cur = base
-    for _ in range(num_mips - 1):
+    for _ in range(num_mips - 2):
         if min(cur.shape[0], cur.shape[1]) < 8:
             break
         cur = downsample(cur)
         chain.append(cur)
-    # progressive upsample
+    # progressive upsample to the half-res top
     acc = chain[-1]
     for lvl in range(len(chain) - 2, -1, -1):
         acc = upsample_add(acc, chain[lvl])
+    # final combine: one bilinear tap of the half-res bloom per pixel
+    full = jax.image.resize(acc, (color.shape[0], color.shape[1],
+                                  color.shape[2]), method="bilinear")
     # un-Karis (approximate inverse is unnecessary: combine is a lerp)
-    return color + (acc - color) * settings.intensity
+    return color + (full - color) * settings.intensity

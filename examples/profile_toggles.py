@@ -105,6 +105,10 @@ def main():
         ("ssr_cut_march", mk(ssr_stage_cut="march"), None),
         ("ssr_cut_taps", mk(ssr_stage_cut="taps"), None),
         # binning stage bisect + variants (static cfg knobs)
+        ("visonly_cut_clipped", mk(vis_only=True, **gbuf_off),
+         ("cfg", dict(bin_cut="clipped"))),
+        ("visonly_cut_planes0", mk(vis_only=True, **gbuf_off),
+         ("cfg", dict(bin_cut="planes0"))),
         ("visonly_cut_setup", mk(vis_only=True, **gbuf_off),
          ("cfg", dict(bin_cut="setup"))),
         ("visonly_cut_pairs", mk(vis_only=True, **gbuf_off),
