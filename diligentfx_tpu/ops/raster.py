@@ -369,7 +369,10 @@ def _bin_triangles(valid: Array, bbox: Array, width: int, height: int,
 
     # --- small triangles: bounded pair expansion -------------------------
     k = jnp.arange(cfg.max_tiles_per_tri, dtype=jnp.int32)           # (K,)
-    ky = k[None, :] // jnp.maximum(span_x[:, None], 1)               # (T, K)
+    # k // span via float reciprocal (exact for k < K; see _bin_triangles_sub)
+    inv_span = 1.0 / jnp.maximum(span_x[:, None], 1).astype(jnp.float32)
+    ky = jnp.floor((k[None, :].astype(jnp.float32) + 0.5)
+                   * inv_span).astype(jnp.int32)                     # (T, K)
     kx = k[None, :] - ky * jnp.maximum(span_x[:, None], 1)
     pair_tile = (ty0[:, None] + ky) * tiles_x + (tx0[:, None] + kx)  # (T, K)
     pair_valid = is_small[:, None] & (k[None, :] < n_cover[:, None])
@@ -538,7 +541,12 @@ def _bin_triangles_sub(valid: Array, bbox: Array, width: int, height: int,
     is_big = valid & (n_cover > cfg.max_tiles_per_tri)
 
     k = jnp.arange(cfg.max_tiles_per_tri, dtype=jnp.int32)
-    ky = k[None, :] // jnp.maximum(span_x[:, None], 1)
+    # k // span via float reciprocal: int32 division has no VPU hardware
+    # path (XLA lowers it to a long sequence); (k+0.5)/span never lands
+    # near an integer boundary for k < K, span <= K, so floor is exact
+    inv_span = 1.0 / jnp.maximum(span_x[:, None], 1).astype(jnp.float32)
+    ky = jnp.floor((k[None, :].astype(jnp.float32) + 0.5)
+                   * inv_span).astype(jnp.int32)
     kx = k[None, :] - ky * jnp.maximum(span_x[:, None], 1)
     pair_bin = (by0[:, None] + ky) * tiles_x + (tx0[:, None] + kx)
     pair_valid = is_small[:, None] & (k[None, :] < n_cover[:, None])
