@@ -87,6 +87,9 @@ class TaskManagerCreateInfo:
     # profiling bisect: truncate the SSR graph after {setup, march, taps}
     # and fabricate the rest (postfx/ssr.py _fabricate).  "" = off.
     ssr_stage_cut: str = ""
+    # march row-sweep lowering: "dyn" (bounded fori_loop) | "static" |
+    # "unroll" (ops/march_pallas.py _march_kernel)
+    ssr_march_sweep: str = "dyn"
     fast_env_taps: bool = False     # nearest-mip env + point LUT sampling
     dof_use_pallas: bool = False    # gather-free bokeh taps (TPU only)
     # Debug AOV output (HN_VIEW_MODE_* analogue, HnTypes.hpp:76+): when not
@@ -478,7 +481,8 @@ def _frame_fx(begin: FrameBegin, scene, state: FrameState, ibl_maps,
             disocclusion=disocclusion, use_pallas=ci.ssr_use_pallas,
             enable_spatial=ci.ssr_enable_spatial,
             enable_bilateral=ci.ssr_enable_bilateral,
-            stage_cut=ci.ssr_stage_cut)
+            stage_cut=ci.ssr_stage_cut,
+            march_sweep=ci.ssr_march_sweep)
 
     # ---- Composite (HnPostProcess.psh analogue) -------------------------------
     ao1 = ao[..., None]

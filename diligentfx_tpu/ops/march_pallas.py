@@ -94,9 +94,16 @@ def _dda_body(row2, t0, t1, has, ou, du, oz, dz, thick,
 
 def _march_kernel(coarse_ref, o_ref, d_ref, sc_ref,
                   tlo_ref, thit_ref, hit_ref,
-                  *, rows: int, cols: int):
+                  *, rows: int, cols: int, sweep: str = "dyn"):
     """o_ref/d_ref: (3, 8, 128) origin/dir in (u, v, ndc_z); sc_ref: (1, 1)
-    SMEM [thickness_ndc]; coarse_ref: (rows_pad, 128) min-depth mip."""
+    SMEM [thickness_ndc]; coarse_ref: (rows_pad, 128) min-depth mip.
+
+    sweep: row-sweep lowering strategy (measured round 5):
+      "dyn"    — fori_loop over the tile's [rmin, rmax) row bound (dynamic
+                 trip count; the GTAO-v1 lesson says traced-bound loops can
+                 stall Mosaic's pipelining)
+      "static" — fori_loop over ALL rows with an in-range predicate
+      "unroll" — fully unrolled static Python loop with predicated rows"""
     ou, ov, oz = o_ref[0], o_ref[1], o_ref[2]
     du, dv, dz = d_ref[0], d_ref[1], d_ref[2]
     thick = sc_ref[0, 0]
@@ -108,11 +115,11 @@ def _march_kernel(coarse_ref, o_ref, d_ref, sc_ref,
     # the row the (nearly-)horizontal ray lives in for its whole length
     home_row = jnp.clip(jnp.floor(ov * rows).astype(jnp.int32), 0, rows - 1)
 
-    def body(r, carry):
+    def body(r, carry, live=None):
         t_lo_b, t_hit_b = carry
         row = coarse_ref[r]                                # (128,)
         row2 = jnp.broadcast_to(row[None, :], (TILE_H, TILE_W))
-        rf = r.astype(jnp.float32)
+        rf = jnp.asarray(r).astype(jnp.float32)
         ta = (rf / rows - ov) * inv_dv
         tb = ((rf + 1.0) / rows - ov) * inv_dv
         tin = jnp.clip(jnp.minimum(ta, tb), 0.0, 1.0)
@@ -122,6 +129,8 @@ def _march_kernel(coarse_ref, o_ref, d_ref, sc_ref,
         tin = jnp.where(in_home, 0.0, tin)
         tout = jnp.where(in_home, 1.0, tout)
         has = has | in_home
+        if live is not None:
+            has = has & live
         tm = 0.5 * (tin + tout)
         t_lo_b, t_hit_b = _dda_body(row2, tin, tm, has, ou, du, oz, dz,
                                     thick, cols, t_lo_b, t_hit_b)
@@ -140,16 +149,32 @@ def _march_kernel(coarse_ref, o_ref, d_ref, sc_ref,
     vmax = jnp.max(jnp.maximum(ov, v_end))
     rmin = jnp.clip(jnp.floor(vmin * rows).astype(jnp.int32), 0, rows)
     rmax = jnp.clip(jnp.floor(vmax * rows).astype(jnp.int32) + 1, 0, rows)
-    t_lo, t_hit = jax.lax.fori_loop(rmin, rmax, body, init)
+    if sweep == "dyn":
+        t_lo, t_hit = jax.lax.fori_loop(rmin, rmax, body, init)
+    elif sweep == "static":
+        def gated(r, carry):
+            return body(r, carry, live=jnp.broadcast_to(
+                (r >= rmin) & (r < rmax), (TILE_H, TILE_W)))
+        t_lo, t_hit = jax.lax.fori_loop(0, rows, gated, init)
+    else:                                   # "unroll"
+        # predicated static rows: Mosaic pipelines the unrolled gathers;
+        # out-of-bound rows still cost their ops (no dynamic skip)
+        t_lo, t_hit = init
+        for r in range(rows):
+            live = jnp.broadcast_to((jnp.int32(r) >= rmin)
+                                    & (jnp.int32(r) < rmax),
+                                    (TILE_H, TILE_W))
+            t_lo, t_hit = body(jnp.int32(r), (t_lo, t_hit), live=live)
     found = t_hit < 1.5
     tlo_ref[...] = jnp.where(found, t_lo, 0.0)
     thit_ref[...] = jnp.where(found, t_hit, 1.0)
     hit_ref[...] = found.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("steps",))
+@functools.partial(jax.jit, static_argnames=("steps", "sweep"))
 def march_small_table_pallas(coarse: Array, origin_uvz: Array, dir_uvz: Array,
-                             thickness_ndc, *, steps: int = 0):
+                             thickness_ndc, *, steps: int = 0,
+                             sweep: str = "dyn"):
     """Row-DDA SSR march against a VMEM-resident min-depth table.
 
     coarse: (rows, cols) with cols <= 128; origin/dir: (h, w, 3) in
@@ -170,7 +195,8 @@ def march_small_table_pallas(coarse: Array, origin_uvz: Array, dir_uvz: Array,
     d_cf = jnp.moveaxis(dir_uvz, -1, 0)
     sc = jnp.reshape(jnp.asarray(thickness_ndc, jnp.float32), (1, 1))
     tiles_x = w // TILE_W
-    kernel = functools.partial(_march_kernel, rows=rows, cols=cols)
+    kernel = functools.partial(_march_kernel, rows=rows, cols=cols,
+                               sweep=sweep)
     t_lo, t_hit, hit = pl.pallas_call(
         kernel,
         grid=(tiles_x * (h // TILE_H),),

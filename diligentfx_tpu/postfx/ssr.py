@@ -73,7 +73,8 @@ def build_min_depth_pyramid(depth: Array, levels: int = 5):
 
 def _march(depth_mips, origin_uvz: Array, dir_uvz: Array, steps: int,
            thickness_ndc: Array, coarse_mip: int = 2,
-           use_pallas: bool = False) -> Tuple[Array, Array]:
+           use_pallas: bool = False,
+           march_sweep: str = "dyn") -> Tuple[Array, Array]:
     """Fixed-budget coarse march + secant refinement.
     origin/dir in (u, v, ndc_z) space.  Returns (hit_uvz, hit_mask).
 
@@ -111,7 +112,7 @@ def _march(depth_mips, origin_uvz: Array, dir_uvz: Array, steps: int,
         o_p = jnp.pad(origin_uvz, ((0, ph), (0, pw), (0, 0)), mode="edge")
         d_p = jnp.pad(dir_uvz, ((0, ph), (0, pw), (0, 0)), mode="edge")
         t_lo, t_hit, hit = march_small_table_pallas(
-            coarse, o_p, d_p, thickness_ndc, steps=steps)
+            coarse, o_p, d_p, thickness_ndc, steps=steps, sweep=march_sweep)
         t_lo, t_hit, hit = t_lo[:h, :w], t_hit[:h, :w], hit[:h, :w]
     else:
         ts = jnp.arange(steps + 1, dtype=jnp.float32) * dt           # (S+1,)
@@ -250,7 +251,8 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
                 enable_spatial: bool = True,
                 enable_temporal: bool = True,
                 enable_bilateral: bool = True,
-                stage_cut: str = "") -> Tuple[Array, SSRState]:
+                stage_cut: str = "",
+                march_sweep: str = "dyn") -> Tuple[Array, SSRState]:
     """Full SSR: returns ((H, W, 4) radiance+confidence, new state).
 
     color: scene radiance to reflect (pre-tonemap); normal_vs view-space.
@@ -349,7 +351,7 @@ def compute_ssr(color: Array, depth: Array, normal_vs: Array, roughness: Array,
         camera.far_z - camera.near_z, 1e-3)
     hit_uvz, hit = _march(mips, o_uvz, dir_uvz,
                           settings.max_traversal_intersections, thick,
-                          use_pallas=use_pallas)
+                          use_pallas=use_pallas, march_sweep=march_sweep)
     if _cut == "march":
         return _fabricate(hit_uvz, hit.astype(jnp.float32))
 

@@ -63,6 +63,10 @@ def main():
         ("cfg4_refine2", mk(epipolar_refinement_factor=2)),
         ("cfg4_tree_refine2", mk(epipolar_use_minmax_tree=True,
                                  epipolar_refinement_factor=2)),
+        # round-5: single-scattering LUT fast mode (SINGLE_SCTR_MODE_LUT)
+        ("cfg4_sctr_lut", mk(epipolar_single_sctr_lut=True)),
+        ("cfg4_sctr_lut_tree", mk(epipolar_single_sctr_lut=True,
+                                  epipolar_use_minmax_tree=True)),
     ]
     if args.only:
         names = set(args.only.split(","))
